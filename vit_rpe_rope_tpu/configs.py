@@ -1,0 +1,142 @@
+"""Frozen config dataclasses mirroring the reference argparse surface.
+
+The reference configures everything through argparse flags
+(/root/reference/train.py:20-56); we mirror those flags onto hashable frozen
+dataclasses so they can be closed over by jit'd functions (static arguments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+# PE strategy names, matching the reference CLI choices verbatim
+# (/root/reference/train.py:33-34).
+PE_CHOICES = ("none", "absolute", "relative", "polynomial", "rope-axial", "rope-mixed")
+
+# Taxonomy of how a PE strategy interacts with the model (SURVEY.md §2.3):
+# the de-facto duck-typed protocol of the reference, formalized as an enum.
+PE_KIND_NONE = "none"                 # no positional information
+PE_KIND_EMBED_ADDITIVE = "additive"   # added to patch embeddings before blocks
+PE_KIND_LOGITS_BIAS = "bias"          # [H, L, L] bias added to attention logits
+PE_KIND_QK_ROTATION = "rotary"        # (cos, sin) rotation applied to q/k
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Model architecture config (reference: VisionTransformer kwargs,
+    /root/reference/models/vit.py:148-151)."""
+
+    img_size: int = 32
+    patch_size: int = 4
+    in_chans: int = 3
+    num_classes: int = 10
+    embed_dim: int = 192
+    depth: int = 6
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    pos_encoding: str = "absolute"
+    rope_theta: float = 100.0
+    poly_degree: int = 3
+    poly_shared_heads: bool = True
+    # Reference RoPE-Mixed reinterprets the [H, S, D/2] phase tensor through a
+    # .view(S, H, -1).permute(1, 0, 2), scrambling (head, position) when H != S
+    # (/root/reference/models/positional_encoding.py:337-342; SURVEY.md Q1).
+    # Default False = clean einsum semantics; True reproduces the reference
+    # memory reinterpretation for checkpoint-level parity.
+    rope_mixed_compat_scramble: bool = False
+    layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default
+    # Attention implementation: "reference" = unfused jnp oracle,
+    # "flash" = Pallas fused kernel, "auto" = flash on TPU else reference.
+    attention_impl: str = "auto"
+    # Compute dtype for activations inside blocks ("float32" or "bfloat16").
+    # Params and softmax statistics stay float32 either way.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.pos_encoding not in PE_CHOICES:
+            raise ValueError(
+                f"Unknown positional encoding type: {self.pos_encoding}"
+            )
+        if self.img_size % self.patch_size != 0:
+            raise ValueError("img_size must be divisible by patch_size")
+        if self.embed_dim % self.num_heads != 0:
+            raise ValueError("embed_dim must be divisible by num_heads")
+        if self.pos_encoding in ("rope-axial", "rope-mixed"):
+            # Axial RoPE splits head_dim into 4 bands (x/y × re/im); the
+            # reference implicitly requires this (SURVEY.md Q4).
+            if self.head_dim % 4 != 0:
+                raise ValueError(
+                    "RoPE variants require head_dim divisible by 4; got "
+                    f"head_dim={self.head_dim}"
+                )
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        """Token count including the cls token."""
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_hidden_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop config (reference: train.py flags + main(),
+    /root/reference/train.py:24-56,194-196)."""
+
+    dataset: str = "mnist"
+    batch_size: int = 128
+    epochs: int = 25
+    lr: float = 1e-3
+    weight_decay: float = 0.01
+    log_dir: str = "logs"
+    ckpt_dir: str = "checkpoints"
+    data_dir: str = "./data"
+    seed: int = 0
+    # Extensions beyond the reference surface (documented divergences):
+    synthetic_data: bool = False   # procedural dataset when real data absent
+    profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5.1)
+    debug_nans: bool = False        # jax_debug_nans sanitizer (SURVEY.md §5.2)
+
+    def __post_init__(self):
+        if self.dataset not in ("mnist", "cifar10"):
+            raise ValueError(f"Unknown dataset: {self.dataset}")
+
+    @property
+    def in_chans(self) -> int:
+        return 1 if self.dataset == "mnist" else 3
+
+    @property
+    def num_classes(self) -> int:
+        return 10
+
+
+def cosine_lr_by_epoch(base_lr: float, epochs: int, steps_per_epoch: int):
+    """torch CosineAnnealingLR(T_max=epochs) stepped once per epoch
+    (/root/reference/train.py:196,205): the LR used throughout epoch e
+    (0-indexed) is base_lr * (1 + cos(pi * e / T_max)) / 2, eta_min=0.
+
+    Returns an optax-compatible schedule fn of the global step.
+    """
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        epoch = jnp.minimum(step // steps_per_epoch, epochs)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule

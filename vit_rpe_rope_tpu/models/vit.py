@@ -1,0 +1,230 @@
+"""Pure-functional Vision Transformer (params pytree + apply fn).
+
+Functional counterpart of the reference VisionTransformer
+(/root/reference/models/vit.py:131-286), redesigned TPU-first:
+
+* Params are a FLAT dict keyed by the reference's state_dict names and stored
+  in torch layout (Linear weights [out, in], conv weight [E, C, P, P]) — this
+  keeps the checkpoint key/shape contract (SURVEY.md Q9) trivially intact so
+  the visualizers' shape-sniffing keeps working and reference .pth checkpoints
+  can be imported directly.
+* Patch embedding is a reshape + one big matmul (kernel == stride conv is
+  exactly a per-patch linear map) — lands on the MXU with no conv lowering.
+* PE bias / RoPE cos-sin are generated ONCE per forward and reused by every
+  block (the reference recomputes get_bias() inside each block — SURVEY.md Q5;
+  pure win, no behavior change).
+* Everything is jit-compatible: static shapes, python-level block loop
+  (depth is small and static), no data-dependent control flow.
+
+Inputs are NHWC (TPU-native layout); the data pipeline produces NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vit_rpe_rope_tpu import pe as pe_registry
+from vit_rpe_rope_tpu.configs import (
+    PE_KIND_EMBED_ADDITIVE,
+    PE_KIND_LOGITS_BIAS,
+    PE_KIND_QK_ROTATION,
+    ViTConfig,
+)
+from vit_rpe_rope_tpu.ops import flash_attention
+from vit_rpe_rope_tpu.ops import reference_attention
+from vit_rpe_rope_tpu.utils.initializers import kaiming_normal_fan_out, trunc_normal
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (/root/reference/models/vit.py:216-233; SURVEY.md Q10)
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: ViTConfig) -> dict:
+    """Flat params dict, reference state_dict key names, torch layouts.
+
+    trunc_normal(std=0.02) for Linear weights and PE tables; zeros for all
+    biases and the cls token; kaiming fan_out for the patch-embed conv.
+    """
+    e, c, p = cfg.embed_dim, cfg.in_chans, cfg.patch_size
+    hid = cfg.mlp_hidden_dim
+    keys = iter(jax.random.split(key, 6 * cfg.depth + 8))
+    params = {
+        "cls_token": jnp.zeros((1, 1, e), jnp.float32),
+        "patch_embed.weight": kaiming_normal_fan_out(next(keys), (e, c, p, p)),
+        "patch_embed.bias": jnp.zeros((e,), jnp.float32),
+    }
+    params.update(pe_registry.get(cfg.pos_encoding).init_params(next(keys), cfg))
+    for i in range(cfg.depth):
+        b = f"blocks.{i}"
+        params[f"{b}.norm1.weight"] = jnp.ones((e,), jnp.float32)
+        params[f"{b}.norm1.bias"] = jnp.zeros((e,), jnp.float32)
+        # qkv has NO bias (qkv_bias=False, /root/reference/models/vit.py:28,35)
+        params[f"{b}.attn.qkv.weight"] = trunc_normal(next(keys), (3 * e, e))
+        params[f"{b}.attn.proj.weight"] = trunc_normal(next(keys), (e, e))
+        params[f"{b}.attn.proj.bias"] = jnp.zeros((e,), jnp.float32)
+        params[f"{b}.norm2.weight"] = jnp.ones((e,), jnp.float32)
+        params[f"{b}.norm2.bias"] = jnp.zeros((e,), jnp.float32)
+        params[f"{b}.mlp.fc1.weight"] = trunc_normal(next(keys), (hid, e))
+        params[f"{b}.mlp.fc1.bias"] = jnp.zeros((hid,), jnp.float32)
+        params[f"{b}.mlp.fc2.weight"] = trunc_normal(next(keys), (e, hid))
+        params[f"{b}.mlp.fc2.bias"] = jnp.zeros((e,), jnp.float32)
+    params["norm.weight"] = jnp.ones((e,), jnp.float32)
+    params["norm.bias"] = jnp.zeros((e,), jnp.float32)
+    params["head.weight"] = trunc_normal(next(keys), (cfg.num_classes, e))
+    params["head.bias"] = jnp.zeros((cfg.num_classes,), jnp.float32)
+    return params
+
+
+def buffers(cfg: ViTConfig) -> dict:
+    """Non-trainable state_dict entries (torch buffers) for checkpoint parity:
+    relative_position_index, rope-axial inv_freq (SURVEY.md Q9)."""
+    return dict(pe_registry.get(cfg.pos_encoding).buffers(cfg))
+
+
+def reference_alias_keys(cfg: ViTConfig) -> dict:
+    """The reference attaches the ONE shared PE module to every block's
+    attention (/root/reference/models/vit.py:205-207, for every non-absolute
+    PE), so each pos_embed.* tensor appears again in the torch state_dict as
+    blocks.{i}.attn.pos_encoding.* — same storage, duplicated keys.
+
+    Returns {alias_key: canonical_pos_embed_key} so checkpoints can be written
+    with the exact reference key set (Q9) and loaded ignoring the duplicates.
+    """
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
+        return {}  # absolute PE is applied at embed time, never attached
+    names = list(pe_mod.init_params(jax.random.PRNGKey(0), cfg)) + list(
+        pe_mod.buffers(cfg)
+    )
+    aliases = {}
+    for i in range(cfg.depth):
+        for key in names:
+            suffix = key.removeprefix("pos_embed.")
+            aliases[f"blocks.{i}.attn.pos_encoding.{suffix}"] = key
+    return aliases
+
+
+def num_params(params: dict) -> int:
+    return sum(int(v.size) for v in params.values())
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, weight, bias, eps):
+    """torch nn.LayerNorm semantics (biased variance), stats in float32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * weight + bias).astype(x.dtype)
+
+
+def _linear(x, weight, bias=None):
+    """x [..., in] @ torch-layout weight [out, in] (+ bias)."""
+    y = jnp.einsum(
+        "...i,oi->...o", x, weight.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def patch_embed(params, images, cfg: ViTConfig):
+    """Non-overlapping patch embedding as reshape + matmul.
+
+    A conv with kernel == stride is exactly a linear map per patch:
+      out[b, t, e] = Σ_{c,p,q} w[e,c,p,q] · img[b, c, i·P+p, j·P+q],  t = i·w+j
+    (matches /root/reference/models/vit.py:164,248-250 including token order:
+    row-major over the patch grid, so t_x = t % w, t_y = t // w).
+    images: [B, H, W, C] float.
+    """
+    b = images.shape[0]
+    g, p, c, e = cfg.grid_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim
+    x = images.reshape(b, g, p, g, p, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gi, gj, C, P, P]
+    x = x.reshape(b, g * g, c * p * p)
+    w = params["patch_embed.weight"].reshape(e, c * p * p)
+    return _linear(x, w, params["patch_embed.bias"])
+
+
+def _attention_impl(cfg: ViTConfig) -> str:
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "reference"
+    return impl
+
+
+def _block(params, prefix, x, cfg, bias, freqs_cis, impl):
+    """Pre-LN transformer block (/root/reference/models/vit.py:100-129):
+    x + attn(LN1(x)); x + mlp(LN2(x)). drop_path/dropout are always 0 in the
+    reference (SURVEY.md Q11) and are omitted."""
+    eps = cfg.layer_norm_eps
+    h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
+                    params[f"{prefix}.norm1.bias"], eps)
+    bsz, n, e = h.shape
+    nh, dh = cfg.num_heads, cfg.head_dim
+    qkv = _linear(h, params[f"{prefix}.attn.qkv.weight"])  # [B, N, 3E]
+    qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, H, N, Dh]
+    scale = dh ** -0.5
+    if impl == "flash":
+        attn_out = flash_attention.flash_attention(
+            q, k, v, scale, bias=bias, freqs_cis=freqs_cis
+        )
+    else:
+        attn_out = reference_attention.attention(
+            q, k, v, scale, bias=bias, freqs_cis=freqs_cis
+        )
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
+    attn_out = _linear(attn_out, params[f"{prefix}.attn.proj.weight"],
+                       params[f"{prefix}.attn.proj.bias"])
+    x = x + attn_out
+    h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
+                    params[f"{prefix}.norm2.bias"], eps)
+    h = _linear(h, params[f"{prefix}.mlp.fc1.weight"],
+                params[f"{prefix}.mlp.fc1.bias"])
+    h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+    h = _linear(h, params[f"{prefix}.mlp.fc2.weight"],
+                params[f"{prefix}.mlp.fc2.bias"])
+    return x + h
+
+
+def forward_features(params, images, cfg: ViTConfig):
+    """[B, H, W, C] images -> [B, L, E] token features after all blocks."""
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = patch_embed(params, images.astype(dtype), cfg)  # [B, S, E]
+    bsz = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(dtype), (bsz, 1, cfg.embed_dim)
+    )
+    x = jnp.concatenate([cls, x], axis=1)  # [B, L, E]
+
+    bias = None
+    freqs_cis = None
+    if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
+        x = pe_mod.add_embedding(params, x)
+    elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
+        bias = pe_mod.attn_bias(params, cfg)  # [H, L, L], once per forward
+    elif pe_mod.KIND == PE_KIND_QK_ROTATION:
+        freqs_cis = pe_mod.freqs_cis(params, cfg)  # once per forward
+
+    impl = _attention_impl(cfg)
+    for i in range(cfg.depth):
+        x = _block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl)
+    return x
+
+
+def apply(params, images, cfg: ViTConfig):
+    """Full forward: [B, H, W, C] images -> [B, num_classes] logits
+    (classification from the cls token, /root/reference/models/vit.py:273-286).
+    """
+    x = forward_features(params, images, cfg)
+    x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
+                    cfg.layer_norm_eps)
+    logits = _linear(x[:, 0], params["head.weight"], params["head.bias"])
+    return logits.astype(jnp.float32)

@@ -1,0 +1,48 @@
+"""Unfused jnp multi-head attention — the trusted oracle
+(direct functional counterpart of /root/reference/models/vit.py:43-94).
+
+Used (a) as the numerics oracle for the Pallas fused kernel's parity tests
+and (b) as the fallback attention implementation on non-TPU backends.
+
+PE plugs in through exactly the three modes the reference supports
+(SURVEY.md §2.3): q/k rotation (cos/sin supplied, cls token excluded),
+additive logits bias [H, N, N], or neither.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vit_rpe_rope_tpu.ops.rotary import apply_rotary_emb
+
+
+def rotate_qk_skip_cls(q, k, freqs_cis):
+    """Rotate q/k [B, H, N, D] on tokens 1..N-1, leaving the cls token
+    (index 0) unrotated (/root/reference/models/vit.py:56-68)."""
+    cos, sin = freqs_cis
+    q_rot, k_rot = apply_rotary_emb(q[:, :, 1:], k[:, :, 1:], cos, sin)
+    q = jnp.concatenate([q[:, :, :1], q_rot], axis=2)
+    k = jnp.concatenate([k[:, :, :1], k_rot], axis=2)
+    return q, k
+
+
+def attention(q, k, v, scale, bias=None, freqs_cis=None):
+    """Scaled dot-product MHA over [B, H, N, D] inputs.
+
+    bias: optional [H, N, N] additive logits bias (relative / polynomial).
+    freqs_cis: optional (cos, sin) for rotary PE (axial / mixed).
+    Returns [B, H, N, D]. Softmax statistics are computed in float32.
+    """
+    if freqs_cis is not None:
+        q, k = rotate_qk_skip_cls(q, k, freqs_cis)
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias[None].astype(logits.dtype)
+    probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return jnp.einsum(
+        "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)

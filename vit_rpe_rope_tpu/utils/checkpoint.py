@@ -1,0 +1,77 @@
+"""Checkpointing with reference-compatible logical keys (SURVEY.md Q9, §5.4).
+
+The reference saves a raw torch state_dict to
+{ckpt_dir}/{dataset}_{pos_encoding}_best.pth (/root/reference/train.py:207-209)
+and its visualizers infer architecture from exact key names and shapes
+(patch_embed.weight, *.qkv.weight, pos_embed.inv_freq, pos_embed.freqs, ...).
+
+We keep the identical flat key/shape contract but serialize as .npz (the
+TPU-native stack has no torch dependency at train time). The loader reads BOTH:
+  *.npz  — our format (flat dict of arrays)
+  *.pth  — reference torch checkpoints (imported via torch, CPU, if available)
+so reference-trained checkpoints drop straight into the rebuilt visualizers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def save(path: str, params: dict, buffers: dict | None = None,
+         aliases: dict | None = None) -> str:
+    """Write params (+ non-trainable buffers) as one flat .npz state dict.
+
+    aliases: optional {alias_key: canonical_key} (models.vit.reference_alias_keys)
+    — the reference state_dict duplicates every shared-PE tensor under
+    blocks.{i}.attn.pos_encoding.*; writing those too makes our key set
+    byte-identical to the reference's (Q9).
+
+    Returns the actual path written (suffix normalized to .npz)."""
+    if path.endswith(".pth"):
+        path = path[:-4] + ".npz"
+    elif not path.endswith(".npz"):
+        path = path + ".npz"
+    state = {k: np.asarray(v) for k, v in params.items()}
+    for k, v in (buffers or {}).items():
+        state[k] = np.asarray(v)
+    for alias, canonical in (aliases or {}).items():
+        if canonical in state:
+            state[alias] = state[canonical]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **state)
+    return path
+
+
+def load_state(path: str) -> dict:
+    """Load a flat state dict (numpy arrays) from .npz or torch .pth."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        import torch  # optional dependency, only for reference-ckpt import
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def split_state(state: dict, buffer_keys) -> tuple[dict, dict]:
+    """Split a flat state dict into (trainable params, buffers) given the
+    buffer key set for the architecture (e.g. models.vit.buffers(cfg))."""
+    buffer_keys = set(buffer_keys)
+    params = {k: jnp.asarray(v) for k, v in state.items()
+              if k not in buffer_keys and not k.startswith("__")
+              and ".attn.pos_encoding." not in k}  # shared-PE alias duplicates
+    bufs = {k: jnp.asarray(v) for k, v in state.items() if k in buffer_keys}
+    return params, bufs
+
+
+def find_checkpoint(ckpt_dir: str, dataset: str, pos_encoding: str) -> str | None:
+    """Locate a best-checkpoint by the reference naming contract, preferring
+    our .npz but accepting reference .pth."""
+    for ext in (".npz", ".pth"):
+        p = os.path.join(ckpt_dir, f"{dataset}_{pos_encoding}_best{ext}")
+        if os.path.exists(p):
+            return p
+    return None
