@@ -1,0 +1,157 @@
+"""Training-loop tests: SPMD data-parallel equivalence on a virtual 8-device
+mesh (SURVEY.md §4.4), integration smoke (§4.5), CSV/checkpoint side-effect
+contracts, and optimizer/schedule semantics."""
+
+import csv
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig, cosine_lr_by_epoch
+from vit_rpe_rope_tpu.data import datasets
+from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
+from vit_rpe_rope_tpu.train import train_step as ts
+from vit_rpe_rope_tpu.train.loop import fit
+
+
+def small_cfg(**kw):
+    d = dict(img_size=16, patch_size=4, in_chans=1, embed_dim=64, depth=2,
+             num_heads=4, pos_encoding="rope-axial", attention_impl="reference")
+    d.update(kw)
+    return ViTConfig(**d)
+
+
+def run_steps(num_devices, n_steps=4, batch=32, optimizer="sgd"):
+    """Run n_steps of training on a mesh of `num_devices`; return params."""
+    import optax
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=batch, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=batch * n_steps + 8,
+                                n_test=16, seed=3)
+    mesh = make_mesh(batch_size=batch, num_devices=num_devices)
+    assert mesh.devices.size == num_devices
+    replicated = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx = jax.device_put(bundle.train_x, replicated)
+    dy = jax.device_put(bundle.train_y, replicated)
+    steps_per_epoch = -(-len(bundle.train_y) // batch)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    if optimizer == "sgd":
+        # SGD is linear in the gradient, so 1-dev vs 8-dev differences stay at
+        # float reduction-order level; AdamW would amplify near-zero grads to
+        # ±lr (update ≈ lr·sign(g) while v̂ is tiny).
+        tx = optax.sgd(0.05)
+    else:
+        tx = ts.make_optimizer(tcfg, steps_per_epoch)
+    params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg),
+                            replicated)
+    opt_state = jax.device_put(tx.init(params), replicated)
+    step_fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    epoch_idx = jax.device_put(
+        ts.epoch_indices(jax.random.PRNGKey(9), len(bundle.train_y), batch,
+                         True), idx_sh)
+    metrics = []
+    for s in range(n_steps):
+        params, opt_state, m = step_fn(
+            params, opt_state, jnp.asarray([s], jnp.int32), dx, dy, epoch_idx)
+        metrics.append(np.asarray(m))
+    return jax.device_get(params), np.stack(metrics)
+
+
+def test_dp8_matches_single_device():
+    """8-way shard_map DP must produce identical params to 1 device
+    (same global batches, psum'd grads == full-batch grads)."""
+    p1, m1 = run_steps(1)
+    p8, m8 = run_steps(8)
+    np.testing.assert_allclose(m8[:, 0], m1[:, 0], rtol=1e-5)  # losses
+    np.testing.assert_array_equal(m8[:, 2], m1[:, 2])          # counts
+    # `correct` can wiggle by a few at init: logits are near-tied across
+    # classes, so fusion-order float noise flips argmax on tied examples.
+    assert np.abs(m8[:, 1] - m1[:, 1]).max() <= 3
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_dp8_adamw_close_to_single_device():
+    """With AdamW the comparison is necessarily looser (reduction-order noise
+    through m/√v̂), but trajectories must stay within ~lr of each other."""
+    p1, _ = run_steps(1, optimizer="adamw")
+    p8, _ = run_steps(8, optimizer="adamw")
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   atol=2e-3, err_msg=k)
+
+
+def test_partial_final_batch_masked():
+    """The padded final batch must count only real examples."""
+    cfg = small_cfg()
+    bundle = datasets.synthetic("mnist", n_train=40, n_test=16, seed=1)
+    mesh = make_mesh(batch_size=32, num_devices=8)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    eval_fn = ts.make_eval_step(cfg, mesh, pre)
+    idx = ts.epoch_indices(jax.random.PRNGKey(0), 40, 32, False)
+    assert idx.shape == (2, 32) and int((idx >= 0).sum()) == 40
+    replicated = NamedSharding(mesh, P())
+    idx_sh = jax.device_put(idx, NamedSharding(mesh, P(None, DATA_AXIS)))
+    dx = jax.device_put(bundle.train_x, replicated)
+    dy = jax.device_put(bundle.train_y, replicated)
+    m0 = np.asarray(eval_fn(params, jnp.asarray([0], jnp.int32), dx, dy, idx_sh))
+    m1 = np.asarray(eval_fn(params, jnp.asarray([1], jnp.int32), dx, dy, idx_sh))
+    assert m0[2] == 32 and m1[2] == 8  # counts = real examples only
+
+
+def test_cosine_schedule_matches_torch_semantics():
+    sched = cosine_lr_by_epoch(1e-3, epochs=10, steps_per_epoch=7)
+    # LR is constant within an epoch and follows 0.5·lr·(1+cos(pi·e/T)).
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(6)) == pytest.approx(1e-3)  # still epoch 0
+    e5 = 0.5e-3 * (1 + np.cos(np.pi * 5 / 10))
+    assert float(sched(5 * 7)) == pytest.approx(e5)
+    assert float(sched(10 * 7)) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_fit_side_effects(tmp_path):
+    """Integration smoke (SURVEY.md §4.5): CSV schema + naming, best
+    checkpoint naming, learnability above chance."""
+    cfg = small_cfg(pos_encoding="polynomial")
+    tcfg = TrainConfig(dataset="mnist", batch_size=64, epochs=1,
+                       synthetic_data=True, log_dir=str(tmp_path / "logs"),
+                       ckpt_dir=str(tmp_path / "ckpts"), seed=0)
+    summary = fit(cfg, tcfg, verbose=False)
+    assert summary["best_acc"] > 30.0  # well above 10% chance
+    csvs = glob.glob(str(tmp_path / "logs" / "mnist_polynomial_*.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["epoch", "train_loss", "train_acc", "test_loss",
+                       "test_acc", "best_acc"]
+    assert len(rows) == 2 and rows[1][0] == "1"
+    ckpt = tmp_path / "ckpts" / "mnist_polynomial_best.npz"
+    assert os.path.exists(ckpt)
+    # Checkpoint carries the reference key contract incl. alias keys (Q9).
+    with np.load(ckpt) as z:
+        keys = set(z.files)
+    assert "pos_embed.coefficients" in keys
+    assert "blocks.0.attn.pos_encoding.coefficients" in keys
+    assert "patch_embed.weight" in keys
+
+
+def test_adamw_decays_all_params_like_torch():
+    """torch AdamW with one param group decays every tensor incl. LayerNorm
+    weights; optax.adamw with no mask must match that choice."""
+    tcfg = TrainConfig(dataset="mnist", batch_size=4, epochs=1)
+    tx = ts.make_optimizer(tcfg, steps_per_epoch=1)
+    params = {"norm.weight": jnp.ones((4,))}
+    state = tx.init(params)
+    grads = {"norm.weight": jnp.zeros((4,))}
+    updates, _ = tx.update(grads, state, params)
+    # zero grad → update is pure weight decay: -lr · wd · w ≠ 0
+    assert float(jnp.abs(updates["norm.weight"]).max()) > 0

@@ -1,0 +1,54 @@
+"""Device mesh construction for SPMD training.
+
+The reference has no distribution layer at all (single process, single device
+— SURVEY.md §2 #20, §5.8). The TPU-native equivalent is a jax.sharding.Mesh
+over ICI with shard_map: data parallelism along the 'data' axis (gradient
+all-reduce via lax.psum — XLA lowers it to an ICI all-reduce, the TPU-native
+NCCL), with a 'model' axis reserved for tensor parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
+              model_parallel: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    Uses as many devices as divide evenly into both the device count and the
+    (per-step global) batch size, so every shard gets identical static shapes.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = num_devices or len(devices)
+    n = min(n, len(devices))
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"device count {n} not divisible by model_parallel={model_parallel}")
+    n_data = n // model_parallel
+    if batch_size is not None:
+        n_data = math.gcd(n_data, batch_size)
+    n_use = n_data * model_parallel
+    arr = np.array(devices[:n_use]).reshape(n_data, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_map(fn, mesh, in_specs, out_specs, check_rep=False):
+    """Thin wrapper over jax.shard_map (API moved across jax versions)."""
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    except TypeError:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=check_rep)

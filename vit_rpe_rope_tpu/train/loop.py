@@ -1,0 +1,162 @@
+"""Host-side training loop: reproduces the reference orchestrator's observable
+behavior (/root/reference/train.py:157-219) — timestamped CSV with header
+`epoch,train_loss,train_acc,test_loss,test_acc,best_acc`, tqdm progress bars,
+per-epoch stdout summary, best-accuracy checkpoint named
+{ckpt_dir}/{dataset}_{pos_encoding}_best.* — on top of the SPMD step.
+
+Metric semantics match the reference exactly: epoch train/test loss is the
+MEAN OF BATCH-MEAN losses (total_loss / len(loader), /root/reference/
+train.py:125,155); accuracy is 100 · correct / total examples. Metrics stay
+on device during the epoch (one host sync per epoch, not per batch —
+SURVEY.md §3.1), with a throttled tqdm postfix for live feedback.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
+from vit_rpe_rope_tpu.data import datasets
+from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
+from vit_rpe_rope_tpu.train import train_step as ts
+from vit_rpe_rope_tpu.utils import checkpoint
+
+POSTFIX_EVERY = 50  # tqdm postfix refresh period (forces a small host sync)
+
+
+def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool):
+    """Drive one epoch; returns (state, avg_batch_loss, accuracy_pct,
+    images_per_sec). Metrics accumulate as device arrays; one sync at end."""
+    steps = epoch_idx.shape[0]
+    metrics = []
+    # The in-process CPU collective backend deadlocks (rendezvous timeout)
+    # when several sharded programs are in flight on fewer cores than virtual
+    # devices: spin-waiting device threads starve the rest. Serialize steps
+    # on CPU; on TPU keep the fully asynchronous dispatch pipeline.
+    serialize = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    pbar = tqdm(range(steps), desc=desc, leave=False)
+    for s in pbar:
+        step_arr = jnp.asarray([s], jnp.int32)
+        if train:
+            params, opt_state, m = step_fn(
+                state[0], state[1], step_arr, data_x, data_y, epoch_idx)
+            state = (params, opt_state)
+        else:
+            m = step_fn(state[0], step_arr, data_x, data_y, epoch_idx)
+        if serialize:
+            m.block_until_ready()
+        metrics.append(m)
+        if s % POSTFIX_EVERY == 0 and s > 0:
+            stacked = np.asarray(jnp.stack(metrics[:s]))  # syncs an old value
+            pbar.set_postfix(
+                loss=float(stacked[:, 0].mean()),
+                acc=100.0 * stacked[:, 1].sum() / max(stacked[:, 2].sum(), 1),
+            )
+    stacked = np.asarray(jnp.stack(metrics))
+    dt = time.perf_counter() - t0
+    total = stacked[:, 2].sum()
+    avg_loss = float(stacked[:, 0].mean())  # mean of batch means (reference)
+    acc = 100.0 * float(stacked[:, 1].sum()) / max(float(total), 1.0)
+    return state, avg_loss, acc, float(total) / dt
+
+
+def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
+    """Full training run. Returns a summary dict (best_acc, csv path, ...)."""
+    if tcfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    os.makedirs(tcfg.log_dir, exist_ok=True)
+    os.makedirs(tcfg.ckpt_dir, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_file = f"{tcfg.log_dir}/{tcfg.dataset}_{cfg.pos_encoding}_{timestamp}.csv"
+    with open(log_file, "w", newline="") as f:
+        csv.writer(f).writerow(
+            ["epoch", "train_loss", "train_acc", "test_loss", "test_acc",
+             "best_acc"])
+
+    bundle = datasets.get_dataset(
+        tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
+    mesh = make_mesh(batch_size=tcfg.batch_size)
+    replicated = NamedSharding(mesh, P())
+    idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    train_x = jax.device_put(bundle.train_x, replicated)
+    train_y = jax.device_put(bundle.train_y, replicated)
+    test_x = jax.device_put(bundle.test_x, replicated)
+    test_y = jax.device_put(bundle.test_y, replicated)
+
+    steps_per_epoch = -(-len(bundle.train_y) // tcfg.batch_size)
+    preprocess = ts.make_preprocess(
+        cfg, bundle.mean, bundle.std, bundle.train_x.shape[1])
+    tx = ts.make_optimizer(tcfg, steps_per_epoch)
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    key, init_key = jax.random.split(key)
+    params = jax.device_put(vit.init_params(init_key, cfg), replicated)
+    opt_state = jax.device_put(tx.init(params), replicated)
+
+    train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
+    eval_fn = ts.make_eval_step(cfg, mesh, preprocess)
+    eval_idx = jax.device_put(
+        ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
+        idx_sharding)
+
+    best_acc = 0.0
+    ckpt_path = None
+    history = []
+    profiling = False
+    if tcfg.profile_dir:
+        jax.profiler.start_trace(tcfg.profile_dir)
+        profiling = True
+    try:
+        for epoch in range(tcfg.epochs):
+            if verbose:
+                print(f"\nEpoch: {epoch + 1}/{tcfg.epochs}")
+            epoch_idx = jax.device_put(
+                ts.epoch_indices(
+                    jax.random.fold_in(key, epoch), len(bundle.train_y),
+                    tcfg.batch_size, True),
+                idx_sharding)
+            (params, opt_state), train_loss, train_acc, train_ips = _run_epoch(
+                train_fn, (params, opt_state), train_x, train_y, epoch_idx,
+                "Training", True)
+            (_, _), test_loss, test_acc, _ = _run_epoch(
+                eval_fn, (params, None), test_x, test_y, eval_idx,
+                "Testing", False)
+
+            if test_acc > best_acc:
+                best_acc = test_acc
+                ckpt_path = checkpoint.save(
+                    f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_best.npz",
+                    jax.device_get(params), vit.buffers(cfg),
+                    aliases=vit.reference_alias_keys(cfg))
+
+            with open(log_file, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [epoch + 1, train_loss, train_acc, test_loss, test_acc,
+                     best_acc])
+            history.append(
+                dict(epoch=epoch + 1, train_loss=train_loss,
+                     train_acc=train_acc, test_loss=test_loss,
+                     test_acc=test_acc, images_per_sec=train_ips))
+            if verbose:
+                print(f"Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.2f}%")
+                print(f"Test Loss: {test_loss:.4f}, Test Acc: {test_acc:.2f}%")
+                print(f"Best Test Acc: {best_acc:.2f}% "
+                      f"({train_ips:,.0f} images/sec train)")
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+
+    return dict(best_acc=best_acc, log_file=log_file, ckpt_path=ckpt_path,
+                history=history, num_params=vit.num_params(params),
+                num_devices=mesh.devices.size)
