@@ -161,6 +161,83 @@ def gen_model_goldens():
         print(f"wrote {fname}: logits mean {logits.mean():.6f}")
 
 
+
+
+def gen_viz_goldens():
+    """Similarity matrices + FFT analytics computed by the REFERENCE
+    visualizer functions, for tests of our numpy ports."""
+    import torch
+
+    install_timm_stub()
+    sys.path.insert(0, REFERENCE)
+    import importlib
+
+    ref_sim = importlib.import_module("pe_similarity_visualizer")
+    ref_rope = importlib.import_module("rope_visualizer")
+    from models import positional_encoding as ref_pe
+
+    out = {}
+    g = 8
+
+    # absolute: fixed random table
+    ape = ref_pe.AbsolutePositionalEncoding(48)
+    with torch.no_grad():
+        ape.pos_embed.copy_(torch.randn(1, 5000, 48,
+                            generator=torch.Generator().manual_seed(21)))
+    sim, gg = ref_sim.get_absolute_similarity(ape, g)
+    out["abs.table"] = ape.pos_embed.detach().numpy()
+    out["abs.sim"] = sim
+
+    # relative
+    rel = ref_pe.RelativePositionalEncoding(num_patches=g * g, num_heads=4)
+    with torch.no_grad():
+        rel.relative_position_bias_table.copy_(
+            torch.randn(4, 2 * (g * g + 1) - 1,
+                        generator=torch.Generator().manual_seed(22)))
+    sim, _ = ref_sim.get_relative_similarity(rel, g)
+    out["rel.table"] = rel.relative_position_bias_table.detach().numpy()
+    out["rel.sim"] = sim
+
+    # polynomial (shared)
+    poly = ref_pe.PolynomialRPE(num_patches=g * g, degree=3, num_heads=4,
+                                shared_across_heads=True)
+    with torch.no_grad():
+        poly.coefficients.copy_(
+            torch.randn(4, generator=torch.Generator().manual_seed(23)))
+    sim, _ = ref_sim.get_polynomial_similarity(poly, g)
+    out["poly.coeff"] = poly.coefficients.detach().numpy()
+    out["poly.sim"] = sim
+
+    # rope-axial
+    ax = ref_pe.RoPEAxial(dim=32, theta=100.0)
+    sim, _ = ref_sim.get_rope_axial_similarity(ax, g)
+    out["axial.sim"] = sim
+
+    # rope-mixed (head 1)
+    mx = ref_pe.RoPEMixed(dim=32, num_heads=4, theta=10.0)
+    with torch.no_grad():
+        mx.freqs.copy_(torch.randn(2, 4, 16,
+                       generator=torch.Generator().manual_seed(24)))
+    sim, _ = ref_sim.get_rope_mixed_similarity(mx, g, head_idx=1)
+    out["mixed.freqs"] = mx.freqs.detach().numpy()
+    out["mixed.sim"] = sim
+
+    # rope FFT analytics: single + diagonal patterns through axial & mixed
+    for pattern in ("single", "diagonal"):
+        pos = ref_rope.create_input_positions(pattern, g)
+        out[f"pat.{pattern}"] = pos.numpy()
+        mag, rec = ref_rope.apply_rope_and_fft(pos, ax)
+        out[f"fft.axial.{pattern}.mag"] = mag
+        out[f"fft.axial.{pattern}.rec"] = rec
+        mag, rec = ref_rope.apply_rope_and_fft(pos, mx, head_idx=1)
+        out[f"fft.mixed.{pattern}.mag"] = mag
+        out[f"fft.mixed.{pattern}.rec"] = rec
+
+    np.savez_compressed(os.path.join(OUT_DIR, "viz_golden.npz"), **out)
+    print("wrote viz_golden.npz:", sorted(out))
+
+
 if __name__ == "__main__":
     gen_pe_goldens()
     gen_model_goldens()
+    gen_viz_goldens()

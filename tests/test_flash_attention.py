@@ -1,0 +1,166 @@
+"""Pallas fused-attention parity vs the jnp oracle, interpret-mode on CPU
+(SURVEY.md §4.2): forward and gradients for every PE injection mode, both
+reference shapes (N=65) and the ViT-S/16@224 stretch shape (N=197)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_rpe_rope_tpu.configs import ViTConfig
+from vit_rpe_rope_tpu.ops import flash_attention as fa
+from vit_rpe_rope_tpu.ops import reference_attention as ra
+from vit_rpe_rope_tpu.pe import polynomial, relative, rope_axial, rope_mixed
+
+
+def make_qkv(key, b, h, n, d):
+    ks = jax.random.split(key, 3)
+    shape = (b, h, n, d)
+    return tuple(jax.random.normal(k, shape, jnp.float32) * 0.5 for k in ks)
+
+
+def cfg_for(n_patches, heads, head_dim, pe, **kw):
+    grid = int(np.sqrt(n_patches))
+    assert grid * grid == n_patches
+    return ViTConfig(img_size=grid * 4, patch_size=4,
+                     embed_dim=heads * head_dim, num_heads=heads, depth=1,
+                     pos_encoding=pe, **kw)
+
+
+CASES = [
+    # (n_tokens incl cls, heads, head_dim)
+    (65, 6, 32),    # reference ViT-tiny/4 @ 32px
+    (197, 6, 64),   # ViT-S/16 @ 224px stretch (BASELINE.json config 5)
+]
+
+
+@pytest.mark.parametrize("n,h,d", CASES)
+def test_plain_matches_oracle(n, h, d):
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 2, h, n, d)
+    scale = d ** -0.5
+    out_ref = ra.attention(q, k, v, scale)
+    out = fa.flash_attention_hp(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,h,d", CASES)
+def test_bias_matches_oracle(n, h, d):
+    cfg = cfg_for(n - 1, h, d, "relative")
+    params = relative.init_params(jax.random.PRNGKey(1), cfg)
+    bias = relative.attn_bias(params, cfg) * 5.0
+    q, k, v = make_qkv(jax.random.PRNGKey(2), 2, h, n, d)
+    scale = d ** -0.5
+    out_ref = ra.attention(q, k, v, scale, bias=bias)
+    out = fa.flash_attention_hp(q, k, v, scale, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,h,d", CASES)
+@pytest.mark.parametrize("variant", ["axial", "mixed"])
+def test_rope_matches_oracle(n, h, d, variant):
+    cfg = cfg_for(n - 1, h, d, f"rope-{variant}")
+    if variant == "axial":
+        freqs = rope_axial.freqs_cis({}, cfg)
+    else:
+        params = rope_mixed.init_params(jax.random.PRNGKey(3), cfg)
+        freqs = rope_mixed.freqs_cis(params, cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(4), 2, h, n, d)
+    scale = d ** -0.5
+    out_ref = ra.attention(q, k, v, scale, freqs_cis=freqs)
+    out = fa.flash_attention_hp(q, k, v, scale, freqs_cis=freqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cls_token_unrotated_in_kernel():
+    """Row 0 of the kernel output must equal attention with NO rotation
+    applied to the cls query when all keys equal (identity check via the
+    identity cos/sin row)."""
+    n, h, d = 17, 2, 8
+    cfg = cfg_for(16, h, d, "rope-axial")
+    freqs = rope_axial.freqs_cis({}, cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(5), 1, h, n, d)
+    out = fa.flash_attention_hp(q, k, v, d ** -0.5, freqs_cis=freqs)
+    out_ref = ra.attention(q, k, v, d ** -0.5, freqs_cis=freqs)
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.asarray(out_ref[:, :, 0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_match_oracle_bias():
+    n, h, d = 65, 3, 32
+    cfg = cfg_for(64, h, d, "polynomial")
+    params = polynomial.init_params(jax.random.PRNGKey(6), cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(7), 2, h, n, d)
+    scale = d ** -0.5
+
+    def loss_flash(p, q, k, v):
+        bias = polynomial.attn_bias(p, cfg)
+        return jnp.sum(fa.flash_attention_hp(q, k, v, scale, bias=bias) ** 2)
+
+    def loss_ref(p, q, k, v):
+        bias = polynomial.attn_bias(p, cfg)
+        return jnp.sum(ra.attention(q, k, v, scale, bias=bias) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(params, q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(gf[0]["pos_embed.coefficients"]),
+        np.asarray(gr[0]["pos_embed.coefficients"]), rtol=1e-4, atol=1e-5)
+    for a, b in zip(gf[1:], gr[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_oracle_rope_mixed():
+    """Gradients must flow through the kernel to the learnable RoPE-Mixed
+    frequencies."""
+    n, h, d = 17, 2, 8
+    cfg = cfg_for(16, h, d, "rope-mixed")
+    params = rope_mixed.init_params(jax.random.PRNGKey(8), cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(9), 1, h, n, d)
+    scale = d ** -0.5
+
+    def loss(p, use_flash):
+        freqs = rope_mixed.freqs_cis(p, cfg)
+        f = fa.flash_attention_hp if use_flash else ra.attention
+        return jnp.sum(f(q, k, v, scale, freqs_cis=freqs) ** 2)
+
+    gf = jax.grad(lambda p: loss(p, True))(params)
+    gr = jax.grad(lambda p: loss(p, False))(params)
+    g1, g2 = gf["pos_embed.freqs"], gr["pos_embed.freqs"]
+    assert float(jnp.abs(g1).max()) > 0
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_model_flash_equals_reference_impl():
+    """End-to-end: model forward with attention_impl flash vs reference."""
+    from vit_rpe_rope_tpu.models import vit
+
+    for pe in ["absolute", "relative", "rope-axial"]:
+        cfg_r = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                          depth=2, num_heads=4, pos_encoding=pe,
+                          attention_impl="reference")
+        cfg_f = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                          depth=2, num_heads=4, pos_encoding=pe,
+                          attention_impl="flash")
+        params = vit.init_params(jax.random.PRNGKey(0), cfg_r)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+        lr_ = vit.apply(params, x, cfg_r)
+        lf = vit.apply(params, x, cfg_f)
+        # Production kernel multiplies in bf16 → bf16-level tolerance.
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lr_),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_default_precision_is_bf16_close():
+    """The production kernel multiplies in bf16 (XLA's DEFAULT f32-matmul
+    regime on TPU); outputs stay within bf16 tolerance of full f32."""
+    q, k, v = make_qkv(jax.random.PRNGKey(10), 2, 4, 65, 32)
+    hi = fa.flash_attention_hp(q, k, v, 32 ** -0.5)
+    lo = fa.flash_attention(q, k, v, 32 ** -0.5)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi),
+                               rtol=2e-2, atol=2e-3)

@@ -1,17 +1,252 @@
-"""Pallas fused flash attention with in-kernel PE (placeholder).
+"""Pallas fused attention with in-kernel positional encoding (TPU).
 
-Will fuse: q/k rotary rotation (axial shared / mixed per-head cos-sin),
-additive [H, L, L] bias tiles, online softmax — so the [B, H, N, N] logits
-never round-trip HBM (SURVEY.md §2 #19). Until the kernel lands, this
-delegates to the unfused jnp oracle so `attention_impl="flash"` stays valid.
+The reference materializes [B, H, N, N] attention logits (and the [H, N, N]
+bias) in HBM for every block (/root/reference/models/vit.py:71-88). Here one
+Pallas kernel per (batch, head) program computes rotation → logits → softmax
+→ weighted sum entirely in VMEM; the N×N matrix never touches HBM
+(SURVEY.md §2 #19, §5.7).
+
+PE handling (SURVEY.md §2.3 taxonomy):
+* qk_rotation (rope-axial / rope-mixed): cos/sin tiles are loaded per head
+  and the half-split rotation runs in-kernel. The cls token (index 0) must
+  stay unrotated (SURVEY.md Q2) — instead of the reference's split/concat
+  dance, cos/sin are prepended with an IDENTITY row (cos=1, sin=0): rotating
+  by phase 0 is the identity, so one uniform rotation covers all tokens.
+* logits_bias (relative / polynomial): the [H, N, N] bias is generated once
+  per step (outside) and streamed per-head as a VMEM tile; gradients flow to
+  the bias through the custom VJP, so the table/coefficients still train.
+* Sequence padding: N is padded to the 128-lane boundary; padded KEY columns
+  are masked to -inf before the softmax (padded query rows are garbage and
+  sliced off by the caller).
+
+Backward: recompute-based custom_vjp — residuals are just (q, k, v, bias,
+freqs); the backward re-runs the (cheap at N≤256) unfused oracle under
+jax.vjp. This keeps the memory win in forward (no saved probabilities) and
+exact gradients. A fused Pallas backward is a further optimization.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from vit_rpe_rope_tpu.ops import reference_attention
 
+LANE = 128
+NEG_INF = -1e30
 
-def flash_attention(q, k, v, scale, bias=None, freqs_cis=None):
-    return reference_attention.attention(
-        q, k, v, scale, bias=bias, freqs_cis=freqs_cis
-    )
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _rotate(x, cos, sin):
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[:, :d2], x[:, d2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def _rotate_bh(x, cos, sin):
+    """Half-split rotation over the last dim of x [BB, H, Np, D] with cos/sin
+    [H, Np, D/2] broadcast over the batch block."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos, sin = cos[None], sin[None]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, *rest, out_ref, scale, n_valid,
+                 has_bias, has_rope, mm_dtype=jnp.bfloat16):
+    """One batch-block program: all heads, full attention tiles in VMEM.
+
+    Grid is 1-D over batch blocks (heads are batched inside via MXU batched
+    matmuls) — a (batch, head) grid of tiny programs is dominated by grid-step
+    overhead at these shapes.
+    """
+    idx = 0
+    bias_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]
+        idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+        idx += 4
+
+    q = q_ref[...].astype(jnp.float32)  # [BB, H, Nq, D]
+    k = k_ref[...].astype(jnp.float32)  # [BB, H, Nk, D]
+    bb, h, nq, d = q.shape
+    nk = k.shape[2]
+    if has_rope:
+        q = _rotate_bh(q, cos_q_ref[...].astype(jnp.float32),
+                       sin_q_ref[...].astype(jnp.float32))
+        k = _rotate_bh(k, cos_k_ref[...].astype(jnp.float32),
+                       sin_k_ref[...].astype(jnp.float32))
+
+    # Mosaic matmul supports a single batch dim: fold (BB, H) for the dots,
+    # unfold for the (rank-agnostic) elementwise softmax ops. Multiplies run
+    # in bf16 with f32 accumulation — the same regime as XLA's DEFAULT
+    # precision for f32 matmuls on TPU (full-f32 MXU passes are ~3x slower
+    # and beyond what the surrounding XLA ops use anyway).
+    qf = q.reshape(bb * h, nq, d).astype(mm_dtype)
+    kf = k.reshape(bb * h, nk, d).astype(mm_dtype)
+    logits = jax.lax.dot_general(
+        qf, kf,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, h, nq, nk) * scale
+    if has_bias:
+        logits = logits + bias_ref[...][None].astype(jnp.float32)
+
+    if n_valid < nk:  # mask padded KEY columns (static condition)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+        logits = jnp.where(col < n_valid, logits, NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.reshape(bb * h, nq, nk).astype(mm_dtype),
+        v_ref[...].reshape(bb * h, nk, d).astype(mm_dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, h, nq, d)
+    # Normalize AFTER the matmul: divides [Nq, D] instead of [Nq, Nk].
+    out_ref[...] = (out / denom).astype(out_ref.dtype)
+
+
+def _pad_seq(x, n_pad, axis):
+    pad = n_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _prep_freqs(freqs_cis, num_heads, n_pad, dtype):
+    """(cos, sin) [S, D/2] or [H, S, D/2] (S = N-1 patch tokens) →
+    [H, Np, D/2] with an identity row for the cls token and identity rows in
+    the padding region."""
+    cos, sin = freqs_cis
+    if cos.ndim == 2:
+        cos = jnp.broadcast_to(cos[None], (num_heads,) + cos.shape)
+        sin = jnp.broadcast_to(sin[None], (num_heads,) + sin.shape)
+    h, s, d2 = cos.shape
+    pad_rows = n_pad - s - 1
+    ones = jnp.ones((h, 1, d2), cos.dtype)
+    zeros = jnp.zeros((h, 1, d2), sin.dtype)
+    cos = jnp.concatenate(
+        [ones, cos, jnp.broadcast_to(ones, (h, pad_rows, d2))], axis=1)
+    sin = jnp.concatenate(
+        [zeros, sin, jnp.broadcast_to(zeros, (h, pad_rows, d2))], axis=1)
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def _make_flash_attention(mm_dtype):
+    """Build a custom_vjp'd fused attention with in-kernel matmuls running in
+    `mm_dtype` (bf16 multiplies + f32 accumulation matches XLA's DEFAULT
+    precision for f32 matmuls on TPU; f32 is for high-precision parity)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def attn(q, k, v, scale, bias=None, freqs_cis=None):
+        return _forward(q, k, v, scale, bias, freqs_cis, mm_dtype=mm_dtype)
+
+    def fwd(q, k, v, scale, bias, freqs_cis):
+        out = _forward(q, k, v, scale, bias, freqs_cis, mm_dtype=mm_dtype)
+        return out, (q, k, v, bias, freqs_cis)
+
+    attn.defvjp(fwd, _bwd)
+    return attn
+
+
+def _forward(q, k, v, scale, bias, freqs_cis, interpret=None,
+             mm_dtype=jnp.bfloat16):
+    if interpret is None:
+        # Interpret mode off-TPU so the same code path runs in CPU tests
+        # (SURVEY.md §4.2).
+        interpret = jax.default_backend() != "tpu"
+    b, h, n, d = q.shape
+    # Asymmetric padding: the KEY axis lives on 128-wide lanes (and is the
+    # second matmul's contraction), the QUERY axis on 8-deep sublanes — so
+    # pad queries to 8 and keys to 128 instead of padding both to 128
+    # (~1.8x less softmax/matmul work at N=65).
+    nq = _round_up(n, 8)
+    nk = _round_up(n, LANE)
+    qp = _pad_seq(q, nq, 2)
+    kp = _pad_seq(k, nk, 2)
+    vp = _pad_seq(v, nk, 2)
+
+    # Batch-block size: as many items per program as keep the logits tiles
+    # comfortably inside VMEM (~4 MB of f32 for p + logits across all heads).
+    bb = max(1, min(b, (2 * 1024 * 1024) // (2 * 4 * h * nq * nk)))
+    while b % bb:
+        bb -= 1
+
+    inputs = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    has_bias = bias is not None
+    has_rope = freqs_cis is not None
+    if has_bias:
+        bias_p = _pad_seq(_pad_seq(bias, nq, 1), nk, 2)
+        inputs.append(bias_p)
+        in_specs.append(
+            pl.BlockSpec((h, nq, nk), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    if has_rope:
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        inputs.extend([cos_q, sin_q, cos_k, sin_k])
+        in_specs.extend([
+            pl.BlockSpec((h, npad, d // 2), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for npad in (nq, nq, nk, nk)
+        ])
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, n_valid=n, has_bias=has_bias,
+        has_rope=has_rope, mm_dtype=mm_dtype)
+
+    def kernel_entry(*refs):
+        *ins, out_ref = refs
+        kernel(*ins, out_ref=out_ref)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :, :n, :]
+
+
+def _bwd(scale, residuals, g):
+    q, k, v, bias, freqs_cis = residuals
+
+    def oracle(q, k, v, bias, freqs_cis):
+        return reference_attention.attention(
+            q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
+
+    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis)
+    dq, dk, dv, dbias, dfreqs = vjp(g)
+    return dq, dk, dv, dbias, dfreqs
+
+
+# Production default (bf16 multiplies, f32 accumulation) and a full-f32
+# variant for high-precision use / tight parity testing.
+flash_attention = _make_flash_attention(jnp.bfloat16)
+flash_attention_hp = _make_flash_attention(jnp.float32)
