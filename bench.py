@@ -1,0 +1,101 @@
+"""Benchmark harness: CIFAR-10 ViT-tiny training throughput on one chip.
+
+Headline metric (BASELINE.json): images/sec/chip, train fwd+bwd+update, for
+the reference recipe — ViT-tiny/4 @ 32px (d192, depth 6, heads 6), CIFAR-10
+shapes, batch 128, pos_encoding=rope-axial (the reference's best CIFAR-10
+method), AdamW + cosine. vs_baseline is against the measured PyTorch-CPU
+throughput of the ACTUAL reference model on this host class
+(BASELINE_MEASURED.json; the reference publishes no throughput numbers).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BATCH = 128
+STEPS = 40
+WARMUP = 3
+
+
+def measure(pos_encoding="rope-axial", attention_impl="auto",
+            compute_dtype="float32", batch=BATCH, steps=STEPS):
+    from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
+    from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
+    from vit_rpe_rope_tpu.models import vit
+    from vit_rpe_rope_tpu.parallel.mesh import (
+        DATA_AXIS, NamedSharding, P, make_mesh)
+    from vit_rpe_rope_tpu.train import train_step as ts
+
+    cfg = ViTConfig(pos_encoding=pos_encoding, in_chans=3,
+                    attention_impl=attention_impl,
+                    compute_dtype=compute_dtype)
+    tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=20)
+    mesh = make_mesh(batch_size=batch)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    rng = np.random.default_rng(0)
+    n = batch * steps
+    data_x = jax.device_put(
+        rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8), rep)
+    data_y = jax.device_put((np.arange(n) % 10).astype(np.int32), rep)
+    pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"], 32)
+    tx = ts.make_optimizer(tcfg, steps)
+    params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    opt = jax.device_put(tx.init(params), rep)
+    step_fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    epoch_idx = jax.device_put(
+        ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), idx_sh)
+
+    for s in range(WARMUP):
+        params, opt, m = step_fn(params, opt, jnp.asarray([s], jnp.int32),
+                                 data_x, data_y, epoch_idx)
+    m.block_until_ready()
+    t0 = time.perf_counter()
+    for s in range(WARMUP, steps):
+        params, opt, m = step_fn(params, opt, jnp.asarray([s], jnp.int32),
+                                 data_x, data_y, epoch_idx)
+    m.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(m)).all(), "non-finite metrics"
+    return batch * (steps - WARMUP) / dt
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "BASELINE_MEASURED.json")
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["pytorch_cpu_images_per_sec"]
+
+    ips = measure()
+    result = {
+        "metric": "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
+                  "(train fwd+bwd+update, bs128)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline, 1) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
