@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from vit_rpe_rope_tpu.utils import native
+
 # Normalization constants, exactly the reference's (/root/reference/train.py:72,82).
 NORMALIZATION = {
     "mnist": (np.array([0.1307], np.float32), np.array([0.3081], np.float32)),
@@ -57,6 +59,9 @@ def _open_maybe_gz(path):
 
 
 def _read_idx(path):
+    arr = native.idx_decode(path)  # C++ fast path (handles .gz too)
+    if arr is not None:
+        return arr
     with _open_maybe_gz(path) as f:
         magic = struct.unpack(">I", f.read(4))[0]
         ndim = magic & 0xFF
@@ -90,7 +95,10 @@ def load_cifar10(root: str) -> DatasetBundle:
         def read_batch(name):
             with open(os.path.join(py_dir, name), "rb") as f:
                 d = pickle.load(f, encoding="bytes")
-            x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+            chw = d[b"data"].reshape(-1, 3, 32, 32)
+            x = native.chw_to_hwc(chw)  # C++ fast transpose
+            if x is None:
+                x = chw.transpose(0, 2, 3, 1)
             return x, np.array(d[b"labels"], np.int32)
 
         xs, ys = zip(*(read_batch(f"data_batch_{i}") for i in range(1, 6)))
@@ -98,7 +106,11 @@ def load_cifar10(root: str) -> DatasetBundle:
         test_x, test_y = read_batch("test_batch")
     elif os.path.isdir(bin_dir):
         def read_bin(name):
-            rec = np.fromfile(os.path.join(bin_dir, name), dtype=np.uint8)
+            path = os.path.join(bin_dir, name)
+            decoded = native.cifar_decode(path)  # C++ fast path
+            if decoded is not None:
+                return decoded
+            rec = np.fromfile(path, dtype=np.uint8)
             rec = rec.reshape(-1, 3073)
             y = rec[:, 0].astype(np.int32)
             x = rec[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
