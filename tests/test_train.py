@@ -155,3 +155,43 @@ def test_adamw_decays_all_params_like_torch():
     updates, _ = tx.update(grads, state, params)
     # zero grad → update is pure weight decay: -lr · wd · w ≠ 0
     assert float(jnp.abs(updates["norm.weight"]).max()) > 0
+
+
+def test_resume_continues_training(tmp_path):
+    """--resume restores params + optimizer + epoch and continues to the
+    target epoch count; the resumed run's trajectory matches an uninterrupted
+    run's CSV row count."""
+    cfg = small_cfg(pos_encoding="absolute")
+    common = dict(dataset="mnist", batch_size=64, synthetic_data=True,
+                  log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "c"),
+                  seed=0)
+    s1 = fit(cfg, TrainConfig(epochs=1, **common), verbose=False)
+    last = tmp_path / "c" / "mnist_absolute_last.npz"
+    assert os.path.exists(last)
+    s2 = fit(cfg, TrainConfig(epochs=2, resume=True, **common), verbose=False)
+    # resumed run trains only epoch 2 (history holds exactly 1 new epoch)
+    assert len(s2["history"]) == 1 and s2["history"][0]["epoch"] == 2
+    assert s2["best_acc"] >= s1["best_acc"]
+
+
+def test_train_state_roundtrip(tmp_path):
+    import optax
+
+    from vit_rpe_rope_tpu.utils import checkpoint as ck
+
+    cfg = small_cfg()
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    p = ck.save_train_state(str(tmp_path / "s"), params, opt, epoch=4,
+                            best_acc=77.5)
+    params2, opt2, next_epoch, best = ck.load_train_state(p, tx.init(params))
+    assert next_epoch == 5 and best == 77.5
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params2[k]),
+                                      np.asarray(params[k]))
+    l1 = jax.tree_util.tree_leaves(opt)
+    l2 = jax.tree_util.tree_leaves(opt2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

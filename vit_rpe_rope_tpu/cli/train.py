@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] reproduce the reference RoPE-Mixed "
                           "(head,position) memory-scramble (SURVEY.md Q1) for "
                           "checkpoint-level parity")
+    ext.add_argument("--resume", action="store_true",
+                     help="[extension] resume from {ckpt_dir}/{dataset}_"
+                          "{pos_encoding}_last.npz (params + optimizer + "
+                          "epoch; the reference always restarts from scratch)")
     ext.add_argument("--profile_dir", type=str, default=None,
                      help="[extension] write a jax.profiler trace here")
     ext.add_argument("--debug_nans", action="store_true",
@@ -114,6 +118,7 @@ def main(argv=None):
         synthetic_data=args.synthetic,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
+        resume=args.resume,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

@@ -111,6 +111,8 @@ class TrainConfig:
     synthetic_data: bool = False   # procedural dataset when real data absent
     profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5.1)
     debug_nans: bool = False        # jax_debug_nans sanitizer (SURVEY.md §5.2)
+    resume: bool = False            # continue from the last-state checkpoint
+    save_last: bool = True          # write {..}_last.npz each epoch (resume)
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):

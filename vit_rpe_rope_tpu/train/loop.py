@@ -104,13 +104,23 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     params = jax.device_put(vit.init_params(init_key, cfg), replicated)
     opt_state = jax.device_put(tx.init(params), replicated)
 
+    last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
+    start_epoch, best_acc = 0, 0.0
+    if tcfg.resume and os.path.exists(last_path):
+        params, opt_state, start_epoch, best_acc = checkpoint.load_train_state(
+            last_path, opt_state)
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+        if verbose:
+            print(f"Resumed from {last_path} at epoch {start_epoch} "
+                  f"(best {best_acc:.2f}%)")
+
     train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
     eval_fn = ts.make_eval_step(cfg, mesh, preprocess)
     eval_idx = jax.device_put(
         ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
         idx_sharding)
 
-    best_acc = 0.0
     ckpt_path = None
     history = []
     profiling = False
@@ -118,7 +128,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         jax.profiler.start_trace(tcfg.profile_dir)
         profiling = True
     try:
-        for epoch in range(tcfg.epochs):
+        for epoch in range(start_epoch, tcfg.epochs):
             if verbose:
                 print(f"\nEpoch: {epoch + 1}/{tcfg.epochs}")
             epoch_idx = jax.device_put(
@@ -139,6 +149,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                     f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_best.npz",
                     jax.device_get(params), vit.buffers(cfg),
                     aliases=vit.reference_alias_keys(cfg))
+            if tcfg.save_last:
+                checkpoint.save_train_state(
+                    last_path, jax.device_get(params),
+                    jax.device_get(opt_state), epoch, best_acc)
 
             with open(log_file, "a", newline="") as f:
                 csv.writer(f).writerow(

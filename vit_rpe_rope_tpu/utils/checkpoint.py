@@ -67,6 +67,42 @@ def split_state(state: dict, buffer_keys) -> tuple[dict, dict]:
     return params, bufs
 
 
+def save_train_state(path: str, params: dict, opt_state, epoch: int,
+                     best_acc: float) -> str:
+    """Full resumable train state: params + flattened optimizer leaves +
+    loop progress (a capability the reference lacks — it always restarts
+    from scratch, SURVEY.md §5.3; extension, not reference surface)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    state = {k: np.asarray(v) for k, v in params.items()}
+    for i, leaf in enumerate(leaves):
+        state[f"__opt.{i}"] = np.asarray(leaf)
+    state["__epoch"] = np.asarray(epoch, np.int64)
+    state["__best_acc"] = np.asarray(best_acc, np.float64)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **state)
+    return path
+
+
+def load_train_state(path: str, opt_state_template):
+    """-> (params, opt_state, next_epoch, best_acc). The optimizer pytree is
+    rebuilt from a template with the same structure (e.g. tx.init(params))."""
+    import jax
+
+    state = load_state(path)
+    params = {k: jnp.asarray(v) for k, v in state.items()
+              if not k.startswith("__")}
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    n_leaves = treedef.num_leaves
+    leaves = [jnp.asarray(state[f"__opt.{i}"]) for i in range(n_leaves)]
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return (params, opt_state, int(state["__epoch"]) + 1,
+            float(state["__best_acc"]))
+
+
 def find_checkpoint(ckpt_dir: str, dataset: str, pos_encoding: str) -> str | None:
     """Locate a best-checkpoint by the reference naming contract, preferring
     our .npz but accepting reference .pth."""
