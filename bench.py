@@ -60,22 +60,29 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     tx = ts.make_optimizer(tcfg, steps)
     params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
     opt = jax.device_put(tx.init(params), rep)
-    step_fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    # Production driver: K steps fused per dispatch (the training loop's
+    # default on TPU).
+    k = 16
+    step_fn = ts.make_train_multi_step(cfg, tcfg, mesh, tx, pre, k)
     epoch_idx = jax.device_put(
-        ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), idx_sh)
+        ts.pad_epoch_indices(
+            ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), k),
+        idx_sh)
+    total_steps = epoch_idx.shape[0]
 
-    for s in range(WARMUP):
-        params, opt, m = step_fn(params, opt, jnp.asarray([s], jnp.int32),
-                                 data_x, data_y, epoch_idx)
+    params, opt, m = step_fn(params, opt, jnp.asarray([0], jnp.int32),
+                             data_x, data_y, epoch_idx)  # warmup/compile
     m.block_until_ready()
     t0 = time.perf_counter()
-    for s in range(WARMUP, steps):
+    measured = 0
+    for s in range(k, total_steps, k):
         params, opt, m = step_fn(params, opt, jnp.asarray([s], jnp.int32),
                                  data_x, data_y, epoch_idx)
+        measured += k
     m.block_until_ready()
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(m)).all(), "non-finite metrics"
-    return batch * (steps - WARMUP) / dt
+    return batch * measured / dt
 
 
 def main():

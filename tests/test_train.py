@@ -195,3 +195,58 @@ def test_train_state_roundtrip(tmp_path):
     assert len(l1) == len(l2)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_scan_matches_per_step():
+    """K-step fused scan (with a padded no-op step) must reproduce the
+    per-step driver's params exactly — including frozen optimizer state on
+    padded steps."""
+    import optax
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=32, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=3 * 32 + 8, n_test=8, seed=4)
+    mesh = make_mesh(batch_size=32, num_devices=4)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = ts.make_optimizer(tcfg, 4)
+    params0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+    ei = ts.epoch_indices(jax.random.PRNGKey(5), len(bundle.train_y), 32, True)
+    assert ei.shape[0] == 4  # 3 full + 1 partial batch
+
+    # per-step driver
+    p = jax.device_put(params0, rep)
+    o = jax.device_put(tx.init(params0), rep)
+    step_fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    ei_d = jax.device_put(ei, idx_sh)
+    ms = []
+    for s in range(4):
+        p, o, m = step_fn(p, o, jnp.asarray([s], jnp.int32), dx, dy, ei_d)
+        m.block_until_ready()
+        ms.append(np.asarray(m))
+
+    # K=3 fused driver: 4 steps pad to 6 (2 fully-padded no-op steps)
+    k = 3
+    ei_pad = jax.device_put(ts.pad_epoch_indices(ei, k), idx_sh)
+    assert ei_pad.shape[0] == 6
+    # fresh init: params0's buffers were donated into the per-step driver
+    params0b = vit.init_params(jax.random.PRNGKey(0), cfg)
+    p2 = jax.device_put(params0b, rep)
+    o2 = jax.device_put(tx.init(params0b), rep)
+    multi = ts.make_train_multi_step(cfg, tcfg, mesh, tx, pre, k)
+    all_m = []
+    for s in range(0, 6, k):
+        p2, o2, m = multi(p2, o2, jnp.asarray([s], jnp.int32), dx, dy, ei_pad)
+        m.block_until_ready()
+        all_m.append(np.asarray(m))
+    stacked = np.concatenate(all_m)
+    assert (stacked[4:, 2] == 0).all()  # padded steps counted nothing
+    np.testing.assert_allclose(stacked[:4, 0], [m[0] for m in ms], rtol=1e-5)
+    p = jax.device_get(p)
+    p2 = jax.device_get(p2)
+    for key_ in p:
+        np.testing.assert_allclose(np.asarray(p2[key_]), np.asarray(p[key_]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key_)

@@ -113,6 +113,9 @@ class TrainConfig:
     debug_nans: bool = False        # jax_debug_nans sanitizer (SURVEY.md §5.2)
     resume: bool = False            # continue from the last-state checkpoint
     save_last: bool = True          # write {..}_last.npz each epoch (resume)
+    # Train steps fused into one dispatch via lax.scan (0 = auto: 16 on TPU,
+    # 1 on CPU). Removes per-step host dispatch overhead.
+    steps_per_dispatch: int = 0
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):

@@ -40,6 +40,56 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def psum_identity_bwd(x, axis_name: str):
+    """psum whose TRANSPOSE is the identity — for reducing genuine partial
+    sums (tensor-parallel activations) inside differentiated code under
+    shard_map without replication checking, where plain lax.psum would
+    transpose to another psum and over-scale cotangents by the axis size.
+
+    Forward: y = psum(x). Backward: the downstream computation of y is
+    replicated across `axis_name`, so its cotangent is identical on every
+    shard and d y / d x_i = 1 -> each shard's cotangent is just g.
+    """
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def _psum(x, axis):
+        return jax.lax.psum(x, axis)
+
+    def _fwd(x, axis):
+        return jax.lax.psum(x, axis), None
+
+    def _bwd(axis, _, g):
+        return (g,)
+
+    _psum.defvjp(_fwd, _bwd)
+    return _psum(x, axis_name)
+
+
+def identity_fwd_psum_bwd(x, axis_name: str):
+    """The conjugate of psum_identity_bwd (Megatron's "f" operator): identity
+    forward, psum-over-`axis_name` backward. Placed where a REPLICATED
+    activation enters model-parallel compute — each shard's backward only
+    carries its own heads'/rows' contribution, so the input cotangent must be
+    summed across the model axis to be full (and replicated) again."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def _ident(x, axis):
+        del axis
+        return x
+
+    def _fwd(x, axis):
+        del axis
+        return x, None
+
+    def _bwd(axis, _, g):
+        return (jax.lax.psum(g, axis),)
+
+    _ident.defvjp(_fwd, _bwd)
+    return _ident(x, axis_name)
+
+
 def shard_map(fn, mesh, in_specs, out_specs, check_rep=False):
     """Thin wrapper over jax.shard_map (API moved across jax versions)."""
     try:

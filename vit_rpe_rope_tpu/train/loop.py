@@ -33,9 +33,12 @@ from vit_rpe_rope_tpu.utils import checkpoint
 POSTFIX_EVERY = 50  # tqdm postfix refresh period (forces a small host sync)
 
 
-def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool):
+def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool,
+               k: int = 1):
     """Drive one epoch; returns (state, avg_batch_loss, accuracy_pct,
-    images_per_sec). Metrics accumulate as device arrays; one sync at end."""
+    images_per_sec). Metrics accumulate as device arrays; one sync at end.
+    k > 1 = multi-step dispatches (step_fn built by make_train_multi_step;
+    epoch_idx already padded to a multiple of k)."""
     steps = epoch_idx.shape[0]
     metrics = []
     # The in-process CPU collective backend deadlocks (rendezvous timeout)
@@ -44,7 +47,7 @@ def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool):
     # on CPU; on TPU keep the fully asynchronous dispatch pipeline.
     serialize = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
-    pbar = tqdm(range(steps), desc=desc, leave=False)
+    pbar = tqdm(range(0, steps, k), desc=desc, leave=False)
     for s in pbar:
         step_arr = jnp.asarray([s], jnp.int32)
         if train:
@@ -55,14 +58,17 @@ def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool):
             m = step_fn(state[0], step_arr, data_x, data_y, epoch_idx)
         if serialize:
             m.block_until_ready()
-        metrics.append(m)
-        if s % POSTFIX_EVERY == 0 and s > 0:
-            stacked = np.asarray(jnp.stack(metrics[:s]))  # syncs an old value
+        metrics.append(m if k > 1 else m[None])
+        if (s // k) % POSTFIX_EVERY == 0 and s > 0:
+            stacked = np.asarray(jnp.concatenate(metrics[:-1]))  # older values
             pbar.set_postfix(
                 loss=float(stacked[:, 0].mean()),
                 acc=100.0 * stacked[:, 1].sum() / max(stacked[:, 2].sum(), 1),
             )
-    stacked = np.asarray(jnp.stack(metrics))
+    stacked = np.asarray(jnp.concatenate(metrics))
+    # Drop fully-padded trailing steps (count == 0) so the reference's
+    # mean-of-batch-means denominator stays exact.
+    stacked = stacked[stacked[:, 2] > 0]
     dt = time.perf_counter() - t0
     total = stacked[:, 2].sum()
     avg_loss = float(stacked[:, 0].mean())  # mean of batch means (reference)
@@ -115,7 +121,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
+    k = tcfg.steps_per_dispatch
+    if k == 0:  # auto: fuse dispatches on TPU, stay per-step on CPU
+        k = 16 if jax.default_backend() == "tpu" else 1
+    k = max(1, min(k, steps_per_epoch))
+    if k > 1:
+        train_fn = ts.make_train_multi_step(cfg, tcfg, mesh, tx, preprocess, k)
+    else:
+        train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
     eval_fn = ts.make_eval_step(cfg, mesh, preprocess)
     eval_idx = jax.device_put(
         ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
@@ -131,14 +144,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         for epoch in range(start_epoch, tcfg.epochs):
             if verbose:
                 print(f"\nEpoch: {epoch + 1}/{tcfg.epochs}")
+            epoch_idx = ts.epoch_indices(
+                jax.random.fold_in(key, epoch), len(bundle.train_y),
+                tcfg.batch_size, True)
             epoch_idx = jax.device_put(
-                ts.epoch_indices(
-                    jax.random.fold_in(key, epoch), len(bundle.train_y),
-                    tcfg.batch_size, True),
-                idx_sharding)
+                ts.pad_epoch_indices(epoch_idx, k), idx_sharding)
             (params, opt_state), train_loss, train_acc, train_ips = _run_epoch(
                 train_fn, (params, opt_state), train_x, train_y, epoch_idx,
-                "Training", True)
+                "Training", True, k=k)
             (_, _), test_loss, test_acc, _ = _run_epoch(
                 eval_fn, (params, None), test_x, test_y, eval_idx,
                 "Testing", False)

@@ -63,12 +63,17 @@ def _gather_batch(data_x, data_y, idx):
     return data_x[safe], data_y[safe], mask
 
 
-def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess):
-    """Per-shard loss/metric SUMS (no collectives here: psum must stay
-    OUTSIDE any function being differentiated — inside shard_map without
-    replication checking, grad-of-psum transposes to another psum and
-    over-counts gradients by the axis size)."""
-    logits = vit.apply(params, preprocess(imgs), cfg)
+def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
+                      apply_fn=None):
+    """Per-shard loss/metric SUMS (no data-axis collectives here: psum over
+    'data' must stay OUTSIDE any function being differentiated — inside
+    shard_map without replication checking, grad-of-psum transposes to
+    another psum and over-counts gradients by the axis size). apply_fn
+    defaults to the replicated model; tensor-parallel steps pass apply_tp
+    (whose internal 'model'-axis psums are differentiated correctly because
+    activations there are genuinely partial sums, not replicas)."""
+    apply_fn = apply_fn or vit.apply
+    logits = apply_fn(params, preprocess(imgs), cfg)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_sum = jnp.sum(losses * mask)
     pred = jnp.argmax(logits, axis=-1)
@@ -109,6 +114,146 @@ def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess):
         local_step, mesh,
         in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
         out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                          preprocess, k: int):
+    """K train steps fused into ONE dispatch via lax.scan inside shard_map —
+    removes per-step host dispatch overhead (significant when the device sits
+    behind a network tunnel; measured ~0.9 ms/step on this setup).
+
+    Returns jitted fn(params, opt_state, start, data_x, data_y, epoch_idx) ->
+    (params, opt_state, metrics [K, 3]). Steps whose index row is fully
+    padded (count == 0, possible when the epoch is padded up to a multiple of
+    K) are no-ops: params AND optimizer state pass through unchanged, so the
+    trajectory is identical to the unfused per-step driver.
+    """
+
+    def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
+        def body(carry, step):
+            p, o = carry
+            idx = jax.lax.dynamic_index_in_dim(
+                epoch_idx, step, axis=0, keepdims=False)
+            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+            count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+            safe_count = jnp.maximum(count, 1.0)
+
+            def loss_fn(pp):
+                loss_sum, correct = _loss_and_metrics(
+                    pp, imgs, labels, mask, cfg, preprocess)
+                return loss_sum / safe_count, correct
+
+            (local_loss, correct), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(local_loss, DATA_AXIS)
+            correct = jax.lax.psum(correct, DATA_AXIS)
+            updates, o_new = tx.update(grads, o, p)
+            p_new = optax.apply_updates(p, updates)
+            live = count > 0  # fully-padded step: freeze params + opt state
+            p = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), p_new, p)
+            o = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, o)
+            return (p, o), jnp.stack([loss, correct, count])
+
+        steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), steps)
+        return params, opt_state, metrics
+
+    sharded = shard_map(
+        local_multi, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def pad_epoch_indices(epoch_idx, k: int):
+    """Pad the [steps, batch] index matrix with -1 rows to a multiple of k
+    (padded steps are no-ops in make_train_multi_step)."""
+    steps = epoch_idx.shape[0]
+    pad = (-steps) % k
+    if pad == 0:
+        return epoch_idx
+    filler = jnp.full((pad, epoch_idx.shape[1]), -1, epoch_idx.dtype)
+    return jnp.concatenate([epoch_idx, filler], axis=0)
+
+
+def opt_specs_like(opt_state, param_specs):
+    """PartitionSpec pytree matching an optimizer state: leaves living under
+    a param-named dict key (adam mu/nu) inherit that param's spec; scalars
+    (step counts) are replicated."""
+    def spec_for(path, leaf):
+        del leaf
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey) and p.key in param_specs:
+                return param_specs[p.key]
+        return jax.sharding.PartitionSpec()
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+
+
+def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                       preprocess):
+    """Data-parallel + tensor-parallel training step over the full
+    ('data', 'model') mesh. Params must be TP-prepared
+    (tensor_parallel.prepare_tp_params) and placed with tp_param_specs
+    shardings; the optimizer state mirrors them (opt_specs_like).
+
+    Gradient synchronization:
+      * all grads psum over 'data' (standard DP);
+      * grads of per-head PE params (relative table, polynomial coefficients,
+        rope-mixed freqs) additionally psum over 'model' — each model shard
+        only saw its own heads' contributions. Grads of replicated-use params
+        (LN, patch embed, head, APE) are identical across 'model' and of
+        sharded params are local-only; neither gets a model-axis reduction.
+    """
+    from vit_rpe_rope_tpu import pe as pe_registry
+    from vit_rpe_rope_tpu.configs import PE_KIND_LOGITS_BIAS
+    from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    needs_model_sync = (pe_mod.KIND == PE_KIND_LOGITS_BIAS
+                        or cfg.pos_encoding == "rope-mixed")
+    pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
+
+    def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+        idx = jax.lax.dynamic_index_in_dim(
+            epoch_idx, step[0], axis=0, keepdims=False)
+        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+
+        def loss_fn(p):
+            loss_sum, correct = _loss_and_metrics(
+                p, imgs, labels, mask, cfg, preprocess, apply_fn=tp.apply_tp)
+            return loss_sum / count, correct
+
+        (local_loss, correct), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        if needs_model_sync:
+            for key in pe_keys:
+                grads[key] = jax.lax.psum(grads[key], MODEL_AXIS)
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        correct = jax.lax.psum(correct, DATA_AXIS)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jnp.stack([loss, correct, count])
+
+    # Build spec pytrees from a throwaway init (structure only).
+    proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
+                                 cfg)
+    param_specs = tp.tp_param_specs(proto, cfg)
+    opt_specs = opt_specs_like(tx.init(proto), param_specs)
+    sharded = shard_map(
+        local_step, mesh,
+        in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(param_specs, opt_specs, P()),
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
 
