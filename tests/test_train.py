@@ -250,3 +250,18 @@ def test_multi_step_scan_matches_per_step():
     for key_ in p:
         np.testing.assert_allclose(np.asarray(p2[key_]), np.asarray(p[key_]),
                                    rtol=1e-5, atol=1e-6, err_msg=key_)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile_dir wraps the run in jax.profiler.trace (SURVEY.md §5.1)."""
+    cfg = small_cfg(pos_encoding="none")
+    tcfg = TrainConfig(dataset="mnist", batch_size=64, epochs=1,
+                       synthetic_data=True, log_dir=str(tmp_path / "l"),
+                       ckpt_dir=str(tmp_path / "c"),
+                       profile_dir=str(tmp_path / "prof"))
+    fit(cfg, tcfg, verbose=False)
+    import glob as g
+
+    files = g.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+    assert any("xplane" in f or f.endswith(".trace.json.gz") for f in files), \
+        files
