@@ -56,14 +56,21 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     data_x = jax.device_put(
         rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8), rep)
     data_y = jax.device_put((np.arange(n) % 10).astype(np.int32), rep)
+    from vit_rpe_rope_tpu.utils.flatten import Flattener
+
     pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"], 32)
     tx = ts.make_optimizer(tcfg, steps)
-    params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    params_dict = vit.init_params(jax.random.PRNGKey(0), cfg)
+    stacked = vit.stack_block_params(params_dict, cfg)
+    flattener = Flattener(stacked)
+    params = jax.device_put(jax.jit(flattener.flatten)(stacked), rep)
     opt = jax.device_put(tx.init(params), rep)
-    # Production driver: K steps fused per dispatch (the training loop's
-    # default on TPU).
+    # Production driver: K steps fused per dispatch on a flat vector of
+    # depth-stacked params (the training loop's default on TPU).
     k = 16
-    step_fn = ts.make_train_multi_step(cfg, tcfg, mesh, tx, pre, k)
+    step_fn = ts.make_flat_train_multi_step(cfg, tcfg, mesh, tx, pre, k,
+                                            flattener,
+                                            apply_fn=vit.apply_stacked)
     epoch_idx = jax.device_put(
         ts.pad_epoch_indices(
             ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), k),

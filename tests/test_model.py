@@ -123,3 +123,22 @@ def test_bf16_compute_close_to_fp32():
     l16 = vit.apply(params, x, cfg16)
     np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
                                rtol=0.1, atol=0.15)
+
+
+@pytest.mark.parametrize("pe_name", PE_NAMES)
+def test_apply_stacked_matches_apply(pe_name):
+    """Depth-stacked lax.scan forward must equal the unrolled forward."""
+    cfg = make_cfg(pe_name, img_size=16, embed_dim=96, depth=3, num_heads=4,
+                   in_chans=1)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1))
+    ref = vit.apply(params, x, cfg)
+    stacked = vit.stack_block_params(params, cfg)
+    out = vit.apply_stacked(stacked, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # round-trip
+    back = vit.unstack_block_params(stacked, cfg)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(params[k]))

@@ -29,6 +29,7 @@ from vit_rpe_rope_tpu.models import vit
 from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
 from vit_rpe_rope_tpu.train import train_step as ts
 from vit_rpe_rope_tpu.utils import checkpoint
+from vit_rpe_rope_tpu.utils.flatten import Flattener
 
 POSTFIX_EVERY = 50  # tqdm postfix refresh period (forces a small host sync)
 
@@ -108,7 +109,26 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     key = jax.random.PRNGKey(tcfg.seed)
     key, init_key = jax.random.split(key)
     params = jax.device_put(vit.init_params(init_key, cfg), replicated)
-    opt_state = jax.device_put(tx.init(params), replicated)
+
+    k = tcfg.steps_per_dispatch
+    if k == 0:  # auto: fuse dispatches on TPU, stay per-step on CPU
+        k = 16 if jax.default_backend() == "tpu" else 1
+    k = max(1, min(k, steps_per_epoch))
+    # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
+    # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
+    # kernels collapse to a handful); the reference-keyed dict stays the
+    # interface for eval/checkpoints.
+    use_flat = k > 1
+    flattener = Flattener(vit.stack_block_params(params, cfg))
+    flatten_j = jax.jit(
+        lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
+    unflatten_j = jax.jit(
+        lambda v: vit.unstack_block_params(flattener.unflatten(v), cfg))
+    if use_flat:
+        train_params = jax.device_put(flatten_j(params), replicated)
+    else:
+        train_params = params
+    opt_state = jax.device_put(tx.init(train_params), replicated)
 
     last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
     start_epoch, best_acc = 0, 0.0
@@ -116,17 +136,16 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         params, opt_state, start_epoch, best_acc = checkpoint.load_train_state(
             last_path, opt_state)
         params = jax.device_put(params, replicated)
+        train_params = flatten_j(params) if use_flat else params
         opt_state = jax.device_put(opt_state, replicated)
         if verbose:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    k = tcfg.steps_per_dispatch
-    if k == 0:  # auto: fuse dispatches on TPU, stay per-step on CPU
-        k = 16 if jax.default_backend() == "tpu" else 1
-    k = max(1, min(k, steps_per_epoch))
-    if k > 1:
-        train_fn = ts.make_train_multi_step(cfg, tcfg, mesh, tx, preprocess, k)
+    if use_flat:
+        train_fn = ts.make_flat_train_multi_step(
+            cfg, tcfg, mesh, tx, preprocess, k, flattener,
+            apply_fn=vit.apply_stacked)
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
     eval_fn = ts.make_eval_step(cfg, mesh, preprocess)
@@ -149,9 +168,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 tcfg.batch_size, True)
             epoch_idx = jax.device_put(
                 ts.pad_epoch_indices(epoch_idx, k), idx_sharding)
-            (params, opt_state), train_loss, train_acc, train_ips = _run_epoch(
-                train_fn, (params, opt_state), train_x, train_y, epoch_idx,
-                "Training", True, k=k)
+            (train_params, opt_state), train_loss, train_acc, train_ips = \
+                _run_epoch(train_fn, (train_params, opt_state), train_x,
+                           train_y, epoch_idx, "Training", True, k=k)
+            params = unflatten_j(train_params) if use_flat else train_params
             (_, _), test_loss, test_acc, _ = _run_epoch(
                 eval_fn, (params, None), test_x, test_y, eval_idx,
                 "Testing", False)

@@ -183,6 +183,57 @@ def pad_epoch_indices(epoch_idx, k: int):
     return jnp.concatenate([epoch_idx, filler], axis=0)
 
 
+def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                               preprocess, k: int, flattener, apply_fn=None):
+    """make_train_multi_step on a FLAT parameter vector: the model unflattens
+    inside the loss, gradients come back as one contiguous array, and the
+    optimizer runs as a few large fused elementwise ops instead of hundreds
+    of per-leaf kernels. Pair with vit.apply_stacked (depth-stacked params,
+    lax.scan over blocks) so the unflatten/reflatten in fwd/bwd also stays at
+    ~25 leaves. Mathematically identical to the dict driver (AdamW is
+    elementwise; scan order matches the unrolled loop)."""
+
+    def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
+        def body(carry, step):
+            p, o = carry
+            idx = jax.lax.dynamic_index_in_dim(
+                epoch_idx, step, axis=0, keepdims=False)
+            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+            count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+            safe_count = jnp.maximum(count, 1.0)
+
+            def loss_fn(pf):
+                loss_sum, correct = _loss_and_metrics(
+                    flattener.unflatten(pf), imgs, labels, mask, cfg,
+                    preprocess, apply_fn=apply_fn)
+                return loss_sum / safe_count, correct
+
+            (local_loss, correct), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(local_loss, DATA_AXIS)
+            correct = jax.lax.psum(correct, DATA_AXIS)
+            updates, o_new = tx.update(grads, o, p)
+            p_new = optax.apply_updates(p, updates)
+            live = count > 0
+            p = jnp.where(live, p_new, p)
+            o = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, o)
+            return (p, o), jnp.stack([loss, correct, count])
+
+        steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+        (flat, opt_state), metrics = jax.lax.scan(
+            body, (flat, opt_state), steps)
+        return flat, opt_state, metrics
+
+    sharded = shard_map(
+        local_multi, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def opt_specs_like(opt_state, param_specs):
     """PartitionSpec pytree matching an optimizer state: leaves living under
     a param-named dict key (adam mu/nu) inherit that param's spec; scalars
