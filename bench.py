@@ -66,11 +66,13 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     params = jax.device_put(jax.jit(flattener.flatten)(stacked), rep)
     opt = jax.device_put(tx.init(params), rep)
     # Production driver: K steps fused per dispatch on a flat vector of
-    # depth-stacked params (the training loop's default on TPU).
-    k = 16
+    # depth-stacked params (the training loop's default on TPU). K divides
+    # the step count, so the padded-step guard is off.
+    k = ts.pick_steps_per_dispatch(steps)
     step_fn = ts.make_flat_train_multi_step(cfg, tcfg, mesh, tx, pre, k,
                                             flattener,
-                                            apply_fn=vit.apply_stacked)
+                                            apply_fn=vit.apply_stacked,
+                                            guard_padded_steps=False)
     epoch_idx = jax.device_put(
         ts.pad_epoch_indices(
             ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), k),

@@ -164,3 +164,37 @@ def test_default_precision_is_bf16_close():
     lo = fa.flash_attention(q, k, v, 32 ** -0.5)
     np.testing.assert_allclose(np.asarray(lo), np.asarray(hi),
                                rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [600, 2100])
+def test_streaming_kv_matches_oracle(n):
+    """Online-softmax KV streaming (long sequences) must match the oracle;
+    exercises multi-tile KV with a padded final tile."""
+    b, h, d = 1, 2, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(11), b, h, n, d)
+    scale = d ** -0.5
+    out = fa._forward_streaming(q, k, v, scale, None, None, interpret=True,
+                                mm_dtype=jnp.float32)
+    ref = ra.attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_kv_with_rope_and_bias():
+    n, h, d = 626, 2, 32  # 625 patches (25x25 grid) + cls
+    cfg = cfg_for(625, h, d, "rope-axial")
+    freqs = rope_axial.freqs_cis({}, cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(12), 1, h, n, d)
+    scale = d ** -0.5
+    out = fa._forward_streaming(q, k, v, scale, None, freqs, interpret=True,
+                                mm_dtype=jnp.float32)
+    ref = ra.attention(q, k, v, scale, freqs_cis=freqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # bias path
+    bias = jax.random.normal(jax.random.PRNGKey(13), (h, n, n)) * 0.5
+    out = fa._forward_streaming(q, k, v, scale, bias, None, interpret=True,
+                                mm_dtype=jnp.float32)
+    ref = ra.attention(q, k, v, scale, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

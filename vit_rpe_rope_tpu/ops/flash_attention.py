@@ -164,12 +164,21 @@ def _make_flash_attention(mm_dtype):
     return attn
 
 
+# Sequences longer than this stream KV in tiles with an online softmax
+# instead of holding the full [Nq, Nk] logits tile in VMEM.
+STREAMING_THRESHOLD = 2048
+KV_TILE = 512
+
+
 def _forward(q, k, v, scale, bias, freqs_cis, interpret=None,
              mm_dtype=jnp.bfloat16):
     if interpret is None:
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
         interpret = jax.default_backend() != "tpu"
+    if q.shape[2] > STREAMING_THRESHOLD:
+        return _forward_streaming(q, k, v, scale, bias, freqs_cis,
+                                  interpret=interpret, mm_dtype=mm_dtype)
     b, h, n, d = q.shape
     # Asymmetric padding: the KEY axis lives on 128-wide lanes (and is the
     # second matmul's contraction), the QUERY axis on 8-deep sublanes — so
@@ -229,6 +238,143 @@ def _forward(q, k, v, scale, bias, freqs_cis, interpret=None,
         out_specs=pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Streaming-KV flash attention (long sequences): online softmax over KV tiles
+# — the [Nq, Nk] logits matrix never exists anywhere, only [Tq, Tkv] tiles
+# (SURVEY.md §5.7). Grid is (batch, head, q-tiles, kv-tiles) with kv
+# innermost; m/l/acc accumulate in VMEM scratch across kv steps.
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
+                   scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype):
+    idx = 0
+    bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]
+        idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+        idx += 4
+
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [Tq, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [Tkv, D]
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Tq, Tkv]
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_ref[...]  # [Tq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * corr + pv
+    m_ref[...] = m_new
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[...] / l_ref[...]).astype(out_ref.dtype)
+
+
+def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
+                       mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+    b, h, n, d = q.shape
+    q_tile = min(q_tile, _round_up(n, 8))
+    nq = _round_up(n, q_tile)
+    nk = _round_up(n, kv_tile)
+    qp = _pad_seq(q, nq, 2)
+    kp = _pad_seq(k, nk, 2)
+    vp = _pad_seq(v, nk, 2)
+    grid = (b, h, nq // q_tile, nk // kv_tile)
+
+    inputs = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    has_bias = bias is not None
+    has_rope = freqs_cis is not None
+    if has_bias:
+        bias_p = _pad_seq(_pad_seq(bias, nq, 1), nk, 2)
+        inputs.append(bias_p)
+        in_specs.append(
+            pl.BlockSpec((1, q_tile, kv_tile),
+                         lambda bi, hi, qi, ki: (hi, qi, ki),
+                         memory_space=pltpu.VMEM))
+    if has_rope:
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        inputs.extend([cos_q, sin_q, cos_k, sin_k])
+        in_specs.extend([
+            pl.BlockSpec((1, q_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ] + [
+            pl.BlockSpec((1, kv_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ])
+
+    kernel = functools.partial(
+        _stream_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+
+    def kernel_entry(*refs):
+        ins = refs[:len(inputs)]
+        out_ref = refs[len(inputs)]
+        acc_ref, m_ref, l_ref = refs[len(inputs) + 1:]
+        kernel(*ins, out_ref=out_ref, acc_ref=acc_ref, m_ref=m_ref,
+               l_ref=l_ref)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, q_tile, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, d), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(*inputs)
     return out[:, :, :n, :]

@@ -112,7 +112,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     k = tcfg.steps_per_dispatch
     if k == 0:  # auto: fuse dispatches on TPU, stay per-step on CPU
-        k = 16 if jax.default_backend() == "tpu" else 1
+        # A divisor of steps_per_epoch needs no padded no-op steps, letting
+        # the fused driver drop its live-guard state selects.
+        k = (ts.pick_steps_per_dispatch(steps_per_epoch)
+             if jax.default_backend() == "tpu" else 1)
     k = max(1, min(k, steps_per_epoch))
     # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
     # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
@@ -145,7 +148,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     if use_flat:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
-            apply_fn=vit.apply_stacked)
+            apply_fn=vit.apply_stacked,
+            guard_padded_steps=(steps_per_epoch % k != 0))
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
     eval_fn = ts.make_eval_step(cfg, mesh, preprocess)

@@ -183,8 +183,19 @@ def pad_epoch_indices(epoch_idx, k: int):
     return jnp.concatenate([epoch_idx, filler], axis=0)
 
 
+def pick_steps_per_dispatch(steps_per_epoch: int, cap: int = 32) -> int:
+    """Largest divisor of steps_per_epoch ≤ cap: no padded no-op steps, so
+    the fused driver can skip the live-guard (three full-state selects)."""
+    best = 1
+    for k in range(2, min(cap, steps_per_epoch) + 1):
+        if steps_per_epoch % k == 0:
+            best = k
+    return best
+
+
 def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
-                               preprocess, k: int, flattener, apply_fn=None):
+                               preprocess, k: int, flattener, apply_fn=None,
+                               guard_padded_steps: bool = True):
     """make_train_multi_step on a FLAT parameter vector: the model unflattens
     inside the loss, gradients come back as one contiguous array, and the
     optimizer runs as a few large fused elementwise ops instead of hundreds
@@ -215,10 +226,13 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             correct = jax.lax.psum(correct, DATA_AXIS)
             updates, o_new = tx.update(grads, o, p)
             p_new = optax.apply_updates(p, updates)
-            live = count > 0
-            p = jnp.where(live, p_new, p)
-            o = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), o_new, o)
+            if guard_padded_steps:
+                live = count > 0
+                p = jnp.where(live, p_new, p)
+                o = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(live, new, old), o_new, o)
+            else:  # caller guarantees k divides the step count
+                p, o = p_new, o_new
             return (p, o), jnp.stack([loss, correct, count])
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
