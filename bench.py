@@ -35,7 +35,7 @@ WARMUP = 3
 
 
 def measure(pos_encoding="rope-axial", attention_impl="auto",
-            compute_dtype="float32", batch=BATCH, steps=STEPS):
+            compute_dtype="float32", batch=BATCH, steps=STEPS, **cfg_kw):
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -45,7 +45,7 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
 
     cfg = ViTConfig(pos_encoding=pos_encoding, in_chans=3,
                     attention_impl=attention_impl,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, **cfg_kw)
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=20)
     mesh = make_mesh(batch_size=batch)
     rep = NamedSharding(mesh, P())
@@ -54,11 +54,11 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     rng = np.random.default_rng(0)
     n = batch * steps
     data_x = jax.device_put(
-        rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8), rep)
+        rng.integers(0, 256, (n, cfg.img_size, cfg.img_size, 3), dtype=np.uint8), rep)
     data_y = jax.device_put((np.arange(n) % 10).astype(np.int32), rep)
     from vit_rpe_rope_tpu.utils.flatten import Flattener
 
-    pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"], 32)
+    pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"], cfg.img_size)
     tx = ts.make_optimizer(tcfg, steps)
     params_dict = vit.init_params(jax.random.PRNGKey(0), cfg)
     stacked = vit.stack_block_params(params_dict, cfg)
@@ -82,15 +82,18 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     params, opt, m = step_fn(params, opt, jnp.asarray([0], jnp.int32),
                              data_x, data_y, epoch_idx)  # warmup/compile
     m.block_until_ready()
+    starts = [s for s in range(0, total_steps, k)]
+    n_dispatch = max(2, (steps - 1) // k)  # ≥ 2 timed dispatches
     t0 = time.perf_counter()
     measured = 0
-    for s in range(k, total_steps, k):
+    for i in range(n_dispatch):
+        s = starts[(i + 1) % len(starts)]
         params, opt, m = step_fn(params, opt, jnp.asarray([s], jnp.int32),
                                  data_x, data_y, epoch_idx)
         measured += k
     m.block_until_ready()
     dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(m)).all(), "non-finite metrics"
+    assert measured > 0 and np.isfinite(np.asarray(m)).all(), "bad metrics"
     return batch * measured / dt
 
 
@@ -102,14 +105,26 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)["pytorch_cpu_images_per_sec"]
 
-    ips = measure()
-    result = {
-        "metric": "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
-                  "(train fwd+bwd+update, bs128)",
-        "value": round(ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / baseline, 1) if baseline else None,
-    }
+    if "--stretch" in sys.argv:
+        # BASELINE.json config 5: ViT-S/16 @ 224px (197 tokens), rope-mixed.
+        ips = measure(pos_encoding="rope-mixed", img_size=224, patch_size=16,
+                      embed_dim=384, depth=12, steps=20, batch=64)
+        result = {
+            "metric": "ViT-S/16 @224 rope-mixed images/sec/chip "
+                      "(train fwd+bwd+update, bs64)",
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }
+    else:
+        ips = measure()
+        result = {
+            "metric": "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
+                      "(train fwd+bwd+update, bs128)",
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / baseline, 1) if baseline else None,
+        }
     print(json.dumps(result))
 
 

@@ -8,7 +8,6 @@ dataclasses so they can be closed over by jit'd functions (static arguments).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 # PE strategy names, matching the reference CLI choices verbatim
 # (/root/reference/train.py:33-34).
@@ -46,8 +45,9 @@ class ViTConfig:
     # memory reinterpretation for checkpoint-level parity.
     rope_mixed_compat_scramble: bool = False
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default
-    # Attention implementation: "reference" = unfused jnp oracle,
-    # "flash" = Pallas fused kernel, "auto" = flash on TPU else reference.
+    # Attention implementation: "reference" = unfused jnp path (XLA-fused),
+    # "flash" = Pallas fused kernel, "auto" = fastest measured (see
+    # models.vit._attention_impl).
     attention_impl: str = "auto"
     # Compute dtype for activations inside blocks ("float32" or "bfloat16").
     # Params and softmax statistics stay float32 either way.
@@ -113,8 +113,9 @@ class TrainConfig:
     debug_nans: bool = False        # jax_debug_nans sanitizer (SURVEY.md §5.2)
     resume: bool = False            # continue from the last-state checkpoint
     save_last: bool = True          # write {..}_last.npz each epoch (resume)
-    # Train steps fused into one dispatch via lax.scan (0 = auto: 16 on TPU,
-    # 1 on CPU). Removes per-step host dispatch overhead.
+    # Train steps fused into one dispatch via lax.scan (0 = auto: a divisor
+    # of steps-per-epoch ≤ 32 on TPU, 1 on CPU). Removes per-step host
+    # dispatch overhead.
     steps_per_dispatch: int = 0
 
     def __post_init__(self):
