@@ -81,41 +81,64 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
     return loss_sum, correct
 
 
+def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
+             apply_fn, guard):
+    """One data-parallel optimizer step (runs inside shard_map). Shared by
+    the per-step, fused-multi-step, and flat-vector drivers.
+
+    guard=True freezes params AND optimizer state on fully-padded steps
+    (count == 0, only possible when the epoch was padded to a dispatch
+    multiple), keeping fused trajectories identical to per-step ones.
+    """
+    idx = jax.lax.dynamic_index_in_dim(epoch_idx, step, axis=0,
+                                       keepdims=False)  # [local_bs]
+    imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+    # Global real-example count (constant w.r.t. params).
+    count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+    safe_count = jnp.maximum(count, 1.0)
+
+    def loss_fn(pp):
+        loss_sum, correct = _loss_and_metrics(
+            pp, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn)
+        # Local share of the GLOBAL batch-mean loss; psum'ing its grads
+        # below yields exactly the full-batch gradient.
+        return loss_sum / safe_count, correct
+
+    (local_loss, correct), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(p)
+    grads = jax.lax.psum(grads, DATA_AXIS)  # ICI all-reduce
+    loss = jax.lax.psum(local_loss, DATA_AXIS)
+    correct = jax.lax.psum(correct, DATA_AXIS)
+    updates, o_new = tx.update(grads, o, p)
+    p_new = optax.apply_updates(p, updates)
+    if guard:
+        live = count > 0
+        p_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(live, new, old), p_new, p)
+        o_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(live, new, old), o_new, o)
+    return p_new, o_new, jnp.stack([loss, correct, count])
+
+
+def _shard_train_fn(local_fn, mesh):
+    sharded = shard_map(
+        local_fn, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess):
     """Returns jitted train_step(params, opt_state, step, data_x, data_y,
     epoch_idx) -> (params, opt_state, metrics[loss, correct, count])."""
 
     def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
-        idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step[0], axis=0, keepdims=False
-        )  # [local_bs]
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-        # Global real-example count (constant w.r.t. params).
-        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        return _dp_step(params, opt_state, step[0], data_x, data_y, epoch_idx,
+                        cfg=cfg, preprocess=preprocess, tx=tx, apply_fn=None,
+                        guard=False)
 
-        def loss_fn(p):
-            loss_sum, correct = _loss_and_metrics(
-                p, imgs, labels, mask, cfg, preprocess)
-            # Local share of the GLOBAL batch-mean loss; psum'ing its grads
-            # below yields exactly the full-batch gradient.
-            return loss_sum / count, correct
-
-        (local_loss, correct), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        grads = jax.lax.psum(grads, DATA_AXIS)  # ICI all-reduce
-        loss = jax.lax.psum(local_loss, DATA_AXIS)
-        correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, jnp.stack([loss, correct, count])
-
-    sharded = shard_map(
-        local_step, mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return _shard_train_fn(local_step, mesh)
 
 
 def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
@@ -125,51 +148,22 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     behind a network tunnel; measured ~0.9 ms/step on this setup).
 
     Returns jitted fn(params, opt_state, start, data_x, data_y, epoch_idx) ->
-    (params, opt_state, metrics [K, 3]). Steps whose index row is fully
-    padded (count == 0, possible when the epoch is padded up to a multiple of
-    K) are no-ops: params AND optimizer state pass through unchanged, so the
-    trajectory is identical to the unfused per-step driver.
-    """
+    (params, opt_state, metrics [K, 3]). Fully-padded steps are guarded
+    no-ops (see _dp_step)."""
 
     def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
         def body(carry, step):
-            p, o = carry
-            idx = jax.lax.dynamic_index_in_dim(
-                epoch_idx, step, axis=0, keepdims=False)
-            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-            count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-            safe_count = jnp.maximum(count, 1.0)
-
-            def loss_fn(pp):
-                loss_sum, correct = _loss_and_metrics(
-                    pp, imgs, labels, mask, cfg, preprocess)
-                return loss_sum / safe_count, correct
-
-            (local_loss, correct), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p)
-            grads = jax.lax.psum(grads, DATA_AXIS)
-            loss = jax.lax.psum(local_loss, DATA_AXIS)
-            correct = jax.lax.psum(correct, DATA_AXIS)
-            updates, o_new = tx.update(grads, o, p)
-            p_new = optax.apply_updates(p, updates)
-            live = count > 0  # fully-padded step: freeze params + opt state
-            p = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), p_new, p)
-            o = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), o_new, o)
-            return (p, o), jnp.stack([loss, correct, count])
+            p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
+                               cfg=cfg, preprocess=preprocess, tx=tx,
+                               apply_fn=None, guard=True)
+            return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
         (params, opt_state), metrics = jax.lax.scan(
             body, (params, opt_state), steps)
         return params, opt_state, metrics
 
-    sharded = shard_map(
-        local_multi, mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return _shard_train_fn(local_multi, mesh)
 
 
 def pad_epoch_indices(epoch_idx, k: int):
@@ -204,48 +198,25 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     ~25 leaves. Mathematically identical to the dict driver (AdamW is
     elementwise; scan order matches the unrolled loop)."""
 
+    base_apply = apply_fn or vit.apply
+
+    def flat_apply(pf, imgs, cfg_):
+        return base_apply(flattener.unflatten(pf), imgs, cfg_)
+
     def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
         def body(carry, step):
-            p, o = carry
-            idx = jax.lax.dynamic_index_in_dim(
-                epoch_idx, step, axis=0, keepdims=False)
-            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-            count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-            safe_count = jnp.maximum(count, 1.0)
-
-            def loss_fn(pf):
-                loss_sum, correct = _loss_and_metrics(
-                    flattener.unflatten(pf), imgs, labels, mask, cfg,
-                    preprocess, apply_fn=apply_fn)
-                return loss_sum / safe_count, correct
-
-            (local_loss, correct), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p)
-            grads = jax.lax.psum(grads, DATA_AXIS)
-            loss = jax.lax.psum(local_loss, DATA_AXIS)
-            correct = jax.lax.psum(correct, DATA_AXIS)
-            updates, o_new = tx.update(grads, o, p)
-            p_new = optax.apply_updates(p, updates)
-            if guard_padded_steps:
-                live = count > 0
-                p = jnp.where(live, p_new, p)
-                o = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(live, new, old), o_new, o)
-            else:  # caller guarantees k divides the step count
-                p, o = p_new, o_new
-            return (p, o), jnp.stack([loss, correct, count])
+            p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
+                               cfg=cfg, preprocess=preprocess, tx=tx,
+                               apply_fn=flat_apply,
+                               guard=guard_padded_steps)
+            return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
         (flat, opt_state), metrics = jax.lax.scan(
             body, (flat, opt_state), steps)
         return flat, opt_state, metrics
 
-    sharded = shard_map(
-        local_multi, mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return _shard_train_fn(local_multi, mesh)
 
 
 def opt_specs_like(opt_state, param_specs):
