@@ -198,3 +198,54 @@ def test_streaming_kv_with_rope_and_bias():
     ref = ra.attention(q, k, v, scale, bias=bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_streaming_backward_matches_oracle(rope):
+    """Streaming flash backward (recompute from logsumexp, tiled) must match
+    the oracle's gradients — plain and fixed-frequency axial rope."""
+    n, h, d = 626, 2, 32  # 25x25 grid + cls, multi-tile
+    if rope:
+        cfg = cfg_for(625, h, d, "rope-axial")
+        freqs = rope_axial.freqs_cis({}, cfg)
+    else:
+        freqs = None
+    q, k, v = make_qkv(jax.random.PRNGKey(20), 1, h, n, d)
+    scale = d ** -0.5
+    out = fa._forward_streaming(q, k, v, scale, None, freqs, interpret=True,
+                                mm_dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(21), out.shape) * 0.1
+    dq, dk, dv = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
+                                   interpret=True, mm_dtype=jnp.float32)
+
+    def oracle(q, k, v):
+        return ra.attention(q, k, v, scale, freqs_cis=freqs)
+
+    _, vjp = jax.vjp(oracle, q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_long_sequence_custom_vjp_end_to_end():
+    """Above the streaming threshold, grad(flash_attention) routes through
+    the tiled backward and matches the oracle."""
+    n, h, d = fa.STREAMING_THRESHOLD + 60, 1, 32
+    q, k, v = make_qkv(jax.random.PRNGKey(22), 1, h, n, d)
+    scale = d ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention_hp(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ra.attention(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-4)

@@ -19,10 +19,13 @@ PE handling (SURVEY.md §2.3 taxonomy):
   are masked to -inf before the softmax (padded query rows are garbage and
   sliced off by the caller).
 
-Backward: recompute-based custom_vjp — residuals are just (q, k, v, bias,
-freqs); the backward re-runs the (cheap at N≤256) unfused oracle under
-jax.vjp. This keeps the memory win in forward (no saved probabilities) and
-exact gradients. A fused Pallas backward is a further optimization.
+Backward: recompute-based custom_vjp. At reference scales (N ≤ 256) the
+backward re-runs the cheap unfused oracle under jax.vjp (exact gradients,
+nothing big saved). Above STREAMING_THRESHOLD it switches to tiled Pallas
+backward kernels (dq and dk/dv passes recomputing p from the per-row
+logsumexp), so neither direction ever materializes [Nq, Nk] — except when a
+gradient is required for a bias tensor or learnable per-head frequencies,
+which still routes through the oracle.
 """
 
 from __future__ import annotations
@@ -158,7 +161,7 @@ def _make_flash_attention(mm_dtype):
 
     def fwd(q, k, v, scale, bias, freqs_cis):
         out = _forward(q, k, v, scale, bias, freqs_cis, mm_dtype=mm_dtype)
-        return out, (q, k, v, bias, freqs_cis)
+        return out, (q, k, v, bias, freqs_cis, out)
 
     attn.defvjp(fwd, _bwd)
     return attn
@@ -380,8 +383,314 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
     return out[:, :, :n, :]
 
 
+# ---------------------------------------------------------------------------
+# Streaming backward (long sequences, SURVEY.md §7 hard-part #3): recompute
+# p tiles from saved per-row logsumexp, never materializing [Nq, Nk].
+# Standard flash bwd identities, per tile (i = query row, j = key col):
+#   D_i   = Σ_d g_id · out_id
+#   p_ij  = exp(s_ij − L_i)            s = q·kᵀ·scale (+ bias), L = m + log l
+#   dv_j  = Σ_i p_ij g_i
+#   ds_ij = p_ij (g_i · v_j − D_i)
+#   dq_i  = scale Σ_j ds_ij k_j        dk_j = scale Σ_i ds_ij q_i
+# Rotation: dq/dk are gradients w.r.t. ROTATED q/k; the inverse rotation
+# (cos, −sin) maps them back. Used for fixed-frequency rope (axial); the
+# learnable rope-mixed case falls back to the oracle VJP (it additionally
+# needs dcos/dsin).
+# ---------------------------------------------------------------------------
+
+def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          *rest, dq_ref, acc_ref, scale, n_valid, kv_tile,
+                          has_bias, has_rope, mm_dtype):
+    idx = 0
+    bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]; idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [Tq, Tkv]
+    gv = jax.lax.dot_general(  # g·vᵀ  [Tq, Tkv]
+        g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0][:, None])
+    acc_ref[...] += scale * jax.lax.dot_general(
+        ds.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = acc_ref[...]
+        if has_rope:  # inverse rotation back to unrotated-q space
+            out = _rotate(out, cos_q_ref[0].astype(jnp.float32),
+                          -sin_q_ref[0].astype(jnp.float32))
+        dq_ref[0, 0] = out.astype(dq_ref.dtype)
+
+
+def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                           *rest, dk_ref, dv_ref, dk_acc, dv_acc, scale,
+                           n_valid, kv_tile, has_bias, has_rope, mm_dtype):
+    idx = 0
+    bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]; idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+
+    qi = pl.program_id(3)  # q tiles innermost here
+    n_q = pl.num_programs(3)
+    ki = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [Tq, Tkv]
+    g = g_ref[0, 0].astype(jnp.float32)
+    dv_acc[...] += jax.lax.dot_general(  # pᵀ g  [Tkv, D]
+        p.astype(mm_dtype), g.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gv = jax.lax.dot_general(
+        g.astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0][:, None])
+    dk_acc[...] += scale * jax.lax.dot_general(  # dsᵀ q  [Tkv, D]
+        ds.astype(mm_dtype), q.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk = dk_acc[...]
+        if has_rope:
+            dk = _rotate(dk, cos_k_ref[0].astype(jnp.float32),
+                         -sin_k_ref[0].astype(jnp.float32))
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype):
+    """Per-row logsumexp recomputed with the streaming forward structure (in
+    plain jnp over kv chunks — small [Tq] state, no N×N materialization)."""
+    b, h, nq, d = q.shape
+    if freqs_cis is not None:
+        q, k = reference_attention.rotate_qk_skip_cls(q, k, freqs_cis)
+    m = jnp.full((b, h, nq), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, nq), jnp.float32)
+    nk = k.shape[2]
+    for start in range(0, nk, KV_TILE):
+        kt = k[:, :, start:start + KV_TILE]
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, kt,
+                       preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            s = s + bias[None, :, :, start:start + KV_TILE]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        l = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(s - m_new[..., None]), axis=-1)
+        m = m_new
+    return m + jnp.log(l)
+
+
+def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
+                   mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+    b, h, n, d = q.shape
+    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    q_tile = min(q_tile, _round_up(n, 8))
+    nq = _round_up(n, q_tile)
+    nk = _round_up(n, kv_tile)
+    qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
+    gp = _pad_seq(g, nq, 2)
+    lse_p = _pad_seq(lse, nq, 2)
+    delta_p = _pad_seq(delta, nq, 2)
+
+    common_inputs = [qp, kp, vp, gp, lse_p, delta_p]
+    has_bias = bias is not None
+    has_rope = freqs_cis is not None
+    extra, extra_specs_q, extra_specs_kv = [], [], []
+    if has_bias:
+        bias_p = _pad_seq(_pad_seq(bias, nq, 1), nk, 2)
+        extra.append(bias_p)
+        extra_specs_q.append(pl.BlockSpec(
+            (1, q_tile, kv_tile), lambda bi, hi, qi, ki: (hi, qi, ki),
+            memory_space=pltpu.VMEM))
+        extra_specs_kv.append(pl.BlockSpec(
+            (1, q_tile, kv_tile), lambda bi, hi, ki, qi: (hi, qi, ki),
+            memory_space=pltpu.VMEM))
+    if has_rope:
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        extra.extend([cos_q, sin_q, cos_k, sin_k])
+        for spec_list, order in ((extra_specs_q, "q"), (extra_specs_kv, "kv")):
+            if order == "q":
+                qmap = lambda bi, hi, qi, ki: (hi, qi, 0)   # noqa: E731
+                kmap = lambda bi, hi, qi, ki: (hi, ki, 0)   # noqa: E731
+            else:
+                qmap = lambda bi, hi, ki, qi: (hi, qi, 0)   # noqa: E731
+                kmap = lambda bi, hi, ki, qi: (hi, ki, 0)   # noqa: E731
+            spec_list.extend([
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+            ])
+
+    def q_major():  # block index maps for (b, h, q, kv) grids
+        return [
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, qi, ki: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, qi, ki: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    def kv_major():  # (b, h, kv, q) grids
+        return [
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, ki, qi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, ki, qi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    dq_kernel = functools.partial(
+        _stream_bwd_dq_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+
+    def dq_entry(*refs):
+        n_in = len(common_inputs) + len(extra)
+        ins, out_ref, acc = refs[:n_in], refs[n_in], refs[n_in + 1]
+        dq_kernel(*ins, dq_ref=out_ref, acc_ref=acc)
+
+    dq = pl.pallas_call(
+        dq_entry,
+        grid=(b, h, nq // q_tile, nk // kv_tile),
+        in_specs=q_major() + extra_specs_q,
+        out_specs=pl.BlockSpec((1, 1, q_tile, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
+        interpret=interpret,
+    )(*common_inputs, *extra)[:, :, :n, :]
+
+    dkv_kernel = functools.partial(
+        _stream_bwd_dkv_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+
+    def dkv_entry(*refs):
+        n_in = len(common_inputs) + len(extra)
+        ins = refs[:n_in]
+        dk_ref, dv_ref, dk_acc, dv_acc = refs[n_in:]
+        dkv_kernel(*ins, dk_ref=dk_ref, dv_ref=dv_ref, dk_acc=dk_acc,
+                   dv_acc=dv_acc)
+
+    dk, dv = pl.pallas_call(
+        dkv_entry,
+        grid=(b, h, nk // kv_tile, nq // q_tile),
+        in_specs=kv_major() + extra_specs_kv,
+        out_specs=[
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, nk, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, nk, d), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((kv_tile, d), jnp.float32),
+                        pltpu.VMEM((kv_tile, d), jnp.float32)],
+        interpret=interpret,
+    )(*common_inputs, *extra)
+    return dq, dk[:, :, :n, :], dv[:, :, :n, :]
+
+
 def _bwd(scale, residuals, g):
-    q, k, v, bias, freqs_cis = residuals
+    q, k, v, bias, freqs_cis, out = residuals
+    n = q.shape[2]
+    # Streaming backward when the O(N²) recompute would hurt and no gradient
+    # is needed for a bias tensor or learnable (per-head) frequencies.
+    fixed_freqs = freqs_cis is None or freqs_cis[0].ndim == 2
+    if n > STREAMING_THRESHOLD and bias is None and fixed_freqs:
+        dq, dk, dv = _bwd_streaming(
+            scale, q, k, v, bias, freqs_cis, out, g,
+            interpret=jax.default_backend() != "tpu")
+        dfreqs = None
+        if freqs_cis is not None:
+            # Fixed axial frequencies carry no learnable dependence; a zero
+            # cotangent is exact (and is dropped upstream).
+            dfreqs = (jnp.zeros_like(freqs_cis[0]),
+                      jnp.zeros_like(freqs_cis[1]))
+        return dq, dk, dv, None, dfreqs
 
     def oracle(q, k, v, bias, freqs_cis):
         return reference_attention.attention(
