@@ -342,3 +342,33 @@ def test_flat_driver_exact_under_sgd():
         np.testing.assert_allclose(np.asarray(p_flat[k]),
                                    np.asarray(p_ref[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_augmentation():
+    """On-device augmentation: flip/crop changes pixels deterministically per
+    key, preserves shape and (mean-ish) statistics, and eval never augments."""
+    cfg = small_cfg()
+    pre_aug = ts.make_preprocess(cfg, np.array([0.0]), np.array([1.0]), 16,
+                                 augment=True)
+    pre_plain = ts.make_preprocess(cfg, np.array([0.0]), np.array([1.0]), 16)
+    x = (np.arange(4 * 16 * 16 * 1) % 255).astype(np.uint8).reshape(4, 16, 16, 1)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    a1 = np.asarray(pre_aug(x, k1))
+    a1b = np.asarray(pre_aug(x, k1))
+    a2 = np.asarray(pre_aug(x, k2))
+    plain = np.asarray(pre_plain(x))
+    assert a1.shape == plain.shape
+    np.testing.assert_array_equal(a1, a1b)        # deterministic per key
+    assert not np.array_equal(a1, a2)             # key changes the transform
+    assert not np.array_equal(a1, plain)          # something actually moved
+    # augment=False ignores the key entirely
+    np.testing.assert_array_equal(np.asarray(pre_plain(x, k1)), plain)
+
+
+def test_fit_with_augment(tmp_path):
+    cfg = small_cfg(pos_encoding="absolute")
+    tcfg = TrainConfig(dataset="mnist", batch_size=64, epochs=1,
+                       synthetic_data=True, augment=True,
+                       log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"))
+    s = fit(cfg, tcfg, verbose=False)
+    assert s["best_acc"] > 12.0

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] reproduce the reference RoPE-Mixed "
                           "(head,position) memory-scramble (SURVEY.md Q1) for "
                           "checkpoint-level parity")
+    ext.add_argument("--augment", action="store_true",
+                     help="[extension] on-device random flip + pad-and-crop "
+                          "augmentation (the reference trains without any; "
+                          "published accuracies reflect the no-augmentation "
+                          "regime)")
     ext.add_argument("--resume", action="store_true",
                      help="[extension] resume from {ckpt_dir}/{dataset}_"
                           "{pos_encoding}_last.npz (params + optimizer + "
@@ -119,6 +124,7 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
         resume=args.resume,
+        augment=args.augment,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

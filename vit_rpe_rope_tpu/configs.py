@@ -113,6 +113,9 @@ class TrainConfig:
     debug_nans: bool = False        # jax_debug_nans sanitizer (SURVEY.md §5.2)
     resume: bool = False            # continue from the last-state checkpoint
     save_last: bool = True          # write {..}_last.npz each epoch (resume)
+    # On-device augmentation (random flip + 4px pad-and-crop). OFF by
+    # default: the reference has none (SURVEY.md Q11).
+    augment: bool = False
     # Train steps fused into one dispatch via lax.scan (0 = auto: a divisor
     # of steps-per-epoch ≤ 32 on TPU, 1 on CPU). Removes per-step host
     # dispatch overhead.

@@ -103,6 +103,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     steps_per_epoch = -(-len(bundle.train_y) // tcfg.batch_size)
     preprocess = ts.make_preprocess(
+        cfg, bundle.mean, bundle.std, bundle.train_x.shape[1],
+        augment=tcfg.augment)
+    eval_preprocess = ts.make_preprocess(
         cfg, bundle.mean, bundle.std, bundle.train_x.shape[1])
     tx = ts.make_optimizer(tcfg, steps_per_epoch)
 
@@ -152,7 +155,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             guard_padded_steps=(steps_per_epoch % k != 0))
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
-    eval_fn = ts.make_eval_step(cfg, mesh, preprocess)
+    eval_fn = ts.make_eval_step(cfg, mesh, eval_preprocess)
     eval_idx = jax.device_put(
         ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
         idx_sharding)

@@ -39,21 +39,47 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
                        weight_decay=tcfg.weight_decay)
 
 
-def make_preprocess(cfg: ViTConfig, mean, std, native_size: int):
-    """uint8 [B, h, w, C] -> normalized float [B, img, img, C], on device."""
+def make_preprocess(cfg: ViTConfig, mean, std, native_size: int,
+                    augment: bool = False):
+    """uint8 [B, h, w, C] -> normalized float [B, img, img, C], fused into
+    the jitted step (no host-side transforms — the TPU-native replacement for
+    the torchvision pipeline).
+
+    augment=True adds on-device random horizontal flip + 4px pad-and-crop,
+    keyed per (step, example). OFF by default: the reference trains with NO
+    augmentation (SURVEY.md Q11) and its published accuracies reflect that.
+    """
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
 
-    def preprocess(images_u8):
+    def preprocess(images_u8, key=None):
         x = images_u8.astype(jnp.float32) / 255.0
         if native_size != cfg.img_size:
             b, _, _, c = x.shape
             x = jax.image.resize(
                 x, (b, cfg.img_size, cfg.img_size, c), method="bilinear"
             )
+        if augment and key is not None:
+            x = _augment(x, key)
         return (x - mean) / std
 
     return preprocess
+
+
+def _augment(x, key, pad: int = 4):
+    """Random horizontal flip + pad-and-random-crop, vectorized over the
+    batch (gather-based shifts; everything stays on device)."""
+    b, hgt, wid, c = x.shape
+    kf, ky, kx = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(kf, 0.5, (b,))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    oy = jax.random.randint(ky, (b,), 0, 2 * pad + 1)
+    ox = jax.random.randint(kx, (b,), 0, 2 * pad + 1)
+    rows = oy[:, None] + jnp.arange(hgt)[None, :]          # [B, H]
+    cols = ox[:, None] + jnp.arange(wid)[None, :]          # [B, W]
+    xp = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(xp, cols[:, None, :, None], axis=2)
 
 
 def _gather_batch(data_x, data_y, idx):
@@ -64,7 +90,7 @@ def _gather_batch(data_x, data_y, idx):
 
 
 def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
-                      apply_fn=None):
+                      apply_fn=None, key=None):
     """Per-shard loss/metric SUMS (no data-axis collectives here: psum over
     'data' must stay OUTSIDE any function being differentiated — inside
     shard_map without replication checking, grad-of-psum transposes to
@@ -73,7 +99,8 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
     (whose internal 'model'-axis psums are differentiated correctly because
     activations there are genuinely partial sums, not replicas)."""
     apply_fn = apply_fn or vit.apply
-    logits = apply_fn(params, preprocess(imgs), cfg)
+    logits = apply_fn(params, preprocess(imgs, key) if key is not None
+                      else preprocess(imgs), cfg)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_sum = jnp.sum(losses * mask)
     pred = jnp.argmax(logits, axis=-1)
@@ -82,7 +109,7 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
 
 
 def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
-             apply_fn, guard):
+             apply_fn, guard, seed=0):
     """One data-parallel optimizer step (runs inside shard_map). Shared by
     the per-step, fused-multi-step, and flat-vector drivers.
 
@@ -96,10 +123,16 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     # Global real-example count (constant w.r.t. params).
     count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
     safe_count = jnp.maximum(count, 1.0)
+    # Per-(step, shard) key — only consumed when augmentation is enabled
+    # (otherwise dead code, eliminated by XLA).
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed), step),
+        jax.lax.axis_index(DATA_AXIS))
 
     def loss_fn(pp):
         loss_sum, correct = _loss_and_metrics(
-            pp, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn)
+            pp, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn,
+            key=key)
         # Local share of the GLOBAL batch-mean loss; psum'ing its grads
         # below yields exactly the full-batch gradient.
         return loss_sum / safe_count, correct
@@ -136,7 +169,7 @@ def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess):
     def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
         return _dp_step(params, opt_state, step[0], data_x, data_y, epoch_idx,
                         cfg=cfg, preprocess=preprocess, tx=tx, apply_fn=None,
-                        guard=False)
+                        guard=False, seed=tcfg.seed)
 
     return _shard_train_fn(local_step, mesh)
 
@@ -155,7 +188,7 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         def body(carry, step):
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
-                               apply_fn=None, guard=True)
+                               apply_fn=None, guard=True, seed=tcfg.seed)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
@@ -208,7 +241,7 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
                                apply_fn=flat_apply,
-                               guard=guard_padded_steps)
+                               guard=guard_padded_steps, seed=tcfg.seed)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
