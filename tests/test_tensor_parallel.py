@@ -118,3 +118,16 @@ def test_tp2_training_matches_dp(pe):
         np.testing.assert_allclose(
             np.asarray(p2_ref_layout[k]), np.asarray(p_ref[k]),
             rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_distributed_helpers_single_process():
+    """Single-process semantics of the multi-host helpers: initialize() is a
+    no-op and stage_per_host == device_put."""
+    from vit_rpe_rope_tpu.parallel import distributed
+
+    assert distributed.initialize() is False
+    mesh = make_mesh(num_devices=4)
+    x = np.arange(32, dtype=np.int32).reshape(8, 4)
+    arr = distributed.stage_per_host(x, mesh, P(DATA_AXIS, None))
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.spec == P(DATA_AXIS, None)
