@@ -142,3 +142,28 @@ def test_apply_stacked_matches_apply(pe_name):
     for k in params:
         np.testing.assert_array_equal(np.asarray(back[k]),
                                       np.asarray(params[k]))
+
+
+def test_remat_same_values_and_grads():
+    """jax.checkpoint over blocks must not change outputs or gradients."""
+    base = make_cfg("rope-axial", img_size=16, embed_dim=96, depth=2,
+                    num_heads=4, in_chans=1)
+    remat = make_cfg("rope-axial", img_size=16, embed_dim=96, depth=2,
+                     num_heads=4, in_chans=1, remat=True)
+    params = vit.init_params(jax.random.PRNGKey(0), base)
+    stacked = vit.stack_block_params(params, base)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+
+    def loss(s, cfg):
+        return jnp.sum(vit.apply_stacked(s, x, cfg) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(vit.apply_stacked(stacked, x, remat)),
+        np.asarray(vit.apply_stacked(stacked, x, base)),
+        rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda s: loss(s, base))(stacked)
+    g2 = jax.grad(lambda s: loss(s, remat))(stacked)
+    for k in g1:
+        # remat re-fuses the backward; diffs are float-reduction noise
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-4, atol=5e-5, err_msg=k)

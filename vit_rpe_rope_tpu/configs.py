@@ -52,6 +52,10 @@ class ViTConfig:
     # Compute dtype for activations inside blocks ("float32" or "bfloat16").
     # Params and softmax statistics stay float32 either way.
     compute_dtype: str = "float32"
+    # Rematerialize each block in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(depth) less activation memory
+    # — for scaling past HBM limits (ViT-S @224 and beyond).
+    remat: bool = False
 
     def __post_init__(self):
         if self.pos_encoding not in PE_CHOICES:

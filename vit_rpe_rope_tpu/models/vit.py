@@ -21,6 +21,8 @@ Inputs are NHWC (TPU-native layout); the data pipeline produces NHWC.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -287,10 +289,16 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig):
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 
     impl = _attention_impl(cfg)
+    block_fn = _block_body
+    if cfg.remat:
+        # Recompute each block in the backward pass: O(depth) less activation
+        # memory for one extra forward — scaling knob for big models.
+        block_fn = jax.checkpoint(
+            functools.partial(_block_body), static_argnums=(2, 5))
     for i in range(cfg.depth):
         block_params = {name: stacked[f"blocks.{name}"][i]
                         for name in BLOCK_PARAM_NAMES}
-        x = _block_body(block_params, x, cfg, bias, freqs_cis, impl)
+        x = block_fn(block_params, x, cfg, bias, freqs_cis, impl)
     x = _layer_norm(x, stacked["norm.weight"], stacked["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], stacked["head.weight"], stacked["head.bias"])
