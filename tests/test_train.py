@@ -372,3 +372,31 @@ def test_fit_with_augment(tmp_path):
                        log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"))
     s = fit(cfg, tcfg, verbose=False)
     assert s["best_acc"] > 12.0
+
+
+def test_fit_with_real_format_files(tmp_path):
+    """End-to-end fit() reading standard MNIST IDX files from --data_dir (the
+    non-synthetic path users hit on machines with real data)."""
+    from tests.test_data import write_idx
+
+    raw = tmp_path / "data" / "MNIST" / "raw"
+    os.makedirs(raw)
+    rng = np.random.default_rng(0)
+    n_tr, n_te = 96, 32
+    write_idx(raw / "train-images-idx3-ubyte",
+              rng.integers(0, 256, (n_tr, 28, 28), dtype=np.uint8))
+    write_idx(raw / "train-labels-idx1-ubyte",
+              (np.arange(n_tr) % 10).astype(np.uint8))
+    write_idx(raw / "t10k-images-idx3-ubyte",
+              rng.integers(0, 256, (n_te, 28, 28), dtype=np.uint8))
+    write_idx(raw / "t10k-labels-idx1-ubyte",
+              (np.arange(n_te) % 10).astype(np.uint8))
+    cfg = small_cfg(pos_encoding="absolute")
+    tcfg = TrainConfig(dataset="mnist", batch_size=32, epochs=1,
+                       data_dir=str(tmp_path / "data"),
+                       log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"))
+    s = fit(cfg, tcfg, verbose=False)
+    # random pixels are unlearnable; the contract here is the pipeline runs
+    # (resize 28->16 on device, partial batches masked) and emits artifacts.
+    assert os.path.exists(tmp_path / "c" / "mnist_absolute_best.npz")
+    assert len(s["history"]) == 1

@@ -103,6 +103,22 @@ def load_train_state(path: str, opt_state_template):
             float(state["__best_acc"]))
 
 
+def export_torch(npz_path: str, pth_path: str | None = None) -> str:
+    """Convert one of our .npz checkpoints to a torch .pth state_dict loadable
+    by the ORIGINAL reference model (strict load: the alias keys written by
+    save(aliases=...) complete the reference key set). Requires torch."""
+    import torch
+
+    state = load_state(npz_path)
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in state.items()
+          if not k.startswith("__")}
+    if pth_path is None:
+        pth_path = npz_path[:-4] + ".pth" if npz_path.endswith(".npz") \
+            else npz_path + ".pth"
+    torch.save(sd, pth_path)
+    return pth_path
+
+
 def find_checkpoint(ckpt_dir: str, dataset: str, pos_encoding: str) -> str | None:
     """Locate a best-checkpoint by the reference naming contract, preferring
     our .npz but accepting reference .pth."""
