@@ -103,8 +103,8 @@ def test_partial_final_batch_masked():
     idx_sh = jax.device_put(idx, NamedSharding(mesh, P(None, DATA_AXIS)))
     dx = jax.device_put(bundle.train_x, replicated)
     dy = jax.device_put(bundle.train_y, replicated)
-    m0 = np.asarray(eval_fn(params, jnp.asarray([0], jnp.int32), dx, dy, idx_sh))
-    m1 = np.asarray(eval_fn(params, jnp.asarray([1], jnp.int32), dx, dy, idx_sh))
+    m0 = np.asarray(eval_fn(params, jnp.asarray([0], jnp.int32), dx, dy, idx_sh))[0]
+    m1 = np.asarray(eval_fn(params, jnp.asarray([1], jnp.int32), dx, dy, idx_sh))[0]
     assert m0[2] == 32 and m1[2] == 8  # counts = real examples only
 
 

@@ -59,7 +59,7 @@ def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool,
             m = step_fn(state[0], step_arr, data_x, data_y, epoch_idx)
         if serialize:
             m.block_until_ready()
-        metrics.append(m if k > 1 else m[None])
+        metrics.append(m if m.ndim == 2 else m[None])
         if (s // k) % POSTFIX_EVERY == 0 and s > 0:
             stacked = np.asarray(jnp.concatenate(metrics[:-1]))  # older values
             pbar.set_postfix(
@@ -155,9 +155,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             guard_padded_steps=(steps_per_epoch % k != 0))
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
-    eval_fn = ts.make_eval_step(cfg, mesh, eval_preprocess)
+    eval_steps = -(-len(bundle.test_y) // tcfg.batch_size)
+    k_eval = (ts.pick_steps_per_dispatch(eval_steps)
+              if jax.default_backend() == "tpu" else 1)
+    eval_fn = ts.make_eval_step(cfg, mesh, eval_preprocess, k=k_eval)
     eval_idx = jax.device_put(
-        ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
+        ts.pad_epoch_indices(
+            ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
+            k_eval),
         idx_sharding)
 
     ckpt_path = None
@@ -181,7 +186,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             params = unflatten_j(train_params) if use_flat else train_params
             (_, _), test_loss, test_acc, _ = _run_epoch(
                 eval_fn, (params, None), test_x, test_y, eval_idx,
-                "Testing", False)
+                "Testing", False, k=k_eval)
 
             if test_acc > best_acc:
                 best_acc = test_acc

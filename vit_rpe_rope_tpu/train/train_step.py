@@ -327,22 +327,27 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_eval_step(cfg: ViTConfig, mesh, preprocess):
+def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1):
     """Returns jitted eval_step(params, step, data_x, data_y, epoch_idx) ->
-    metrics[loss, correct, count]."""
+    metrics [k, 3] of [loss, correct, count] for steps step..step+k-1
+    (k > 1 fuses the whole slice into one dispatch via lax.scan; padded
+    steps report count 0 and loss 0 and are dropped by the caller)."""
 
-    def local_step(params, step, data_x, data_y, epoch_idx):
+    def one(params, step, data_x, data_y, epoch_idx):
         idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step[0], axis=0, keepdims=False
-        )
+            epoch_idx, step, axis=0, keepdims=False)
         imgs, labels, mask = _gather_batch(data_x, data_y, idx)
         loss_sum, correct = _loss_and_metrics(
-            params, imgs, labels, mask, cfg, preprocess
-        )
+            params, imgs, labels, mask, cfg, preprocess)
         count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        loss = jax.lax.psum(loss_sum, DATA_AXIS) / count
+        loss = jax.lax.psum(loss_sum, DATA_AXIS) / jnp.maximum(count, 1.0)
         correct = jax.lax.psum(correct, DATA_AXIS)
         return jnp.stack([loss, correct, count])
+
+    def local_step(params, step, data_x, data_y, epoch_idx):
+        steps = step[0] + jnp.arange(k, dtype=jnp.int32)
+        return jax.lax.map(
+            lambda s: one(params, s, data_x, data_y, epoch_idx), steps)
 
     sharded = shard_map(
         local_step, mesh,
