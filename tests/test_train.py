@@ -400,3 +400,41 @@ def test_fit_with_real_format_files(tmp_path):
     # (resize 28->16 on device, partial batches masked) and emits artifacts.
     assert os.path.exists(tmp_path / "c" / "mnist_absolute_best.npz")
     assert len(s["history"]) == 1
+
+
+def test_fused_adamw_driver_matches_optax_driver():
+    """Dict-carry driver with the fused multi-tensor AdamW Pallas kernel
+    must reproduce the optax per-step driver's trajectory (same math)."""
+    cfg = small_cfg(pos_encoding="rope-axial")
+    tcfg = TrainConfig(dataset="mnist", batch_size=32, epochs=2)
+    b = datasets.synthetic("mnist", n_train=128, n_test=8, seed=4)
+    mesh = make_mesh(batch_size=32, num_devices=4)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx, dy = jax.device_put(b.train_x, rep), jax.device_put(b.train_y, rep)
+    pre = ts.make_preprocess(cfg, b.mean, b.std, 28)
+    ei = jax.device_put(
+        ts.epoch_indices(jax.random.PRNGKey(3), 128, 32, True), idx_sh)
+
+    params0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+    tx = ts.make_optimizer(tcfg, 4)
+    p = jax.device_put(params0, rep)
+    o = jax.device_put(tx.init(params0), rep)
+    fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    for s in range(4):
+        p, o, m = fn(p, o, jnp.asarray([s], jnp.int32), dx, dy, ei)
+        m.block_until_ready()
+    p_ref = jax.device_get(p)
+
+    params0b = vit.init_params(jax.random.PRNGKey(0), cfg)
+    opt_init, fnf = ts.make_fused_adamw_multi_step(
+        cfg, tcfg, mesh, pre, 4, 4, guard_padded_steps=False)
+    p2 = jax.device_put(params0b, rep)
+    o2 = jax.device_put(opt_init(params0b), rep)
+    p2, o2, m = fnf(p2, o2, jnp.asarray([0], jnp.int32), dx, dy, ei)
+    m.block_until_ready()
+    p2 = jax.device_get(p2)
+    for key_ in p_ref:
+        np.testing.assert_allclose(np.asarray(p2[key_]),
+                                   np.asarray(p_ref[key_]),
+                                   rtol=1e-4, atol=2e-6, err_msg=key_)

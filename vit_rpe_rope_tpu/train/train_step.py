@@ -252,6 +252,65 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     return _shard_train_fn(local_multi, mesh)
 
 
+def make_fused_adamw_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh,
+                                preprocess, k: int, steps_per_epoch: int,
+                                guard_padded_steps: bool = True):
+    """K-step fused driver over DICT params with the fused multi-tensor
+    AdamW Pallas kernel (ops/fused_adamw): no flat/stacked layout conversions
+    anywhere — the model runs unrolled on the reference-keyed dict and the
+    whole optimizer is a handful of Pallas programs.
+
+    Returns (init_opt_state, jitted step_fn) where step_fn(params, opt_state,
+    start, data_x, data_y, epoch_idx) -> (params, opt_state, metrics [k, 3]).
+    """
+    from vit_rpe_rope_tpu.configs import cosine_lr_by_epoch
+    from vit_rpe_rope_tpu.models import vit as vit_mod
+    from vit_rpe_rope_tpu.ops.fused_adamw import make_fused_adamw
+
+    schedule = cosine_lr_by_epoch(tcfg.lr, tcfg.epochs, steps_per_epoch)
+    template = vit_mod.init_params(jax.random.PRNGKey(0), cfg)
+    opt_init, opt_update = make_fused_adamw(
+        template, schedule, weight_decay=tcfg.weight_decay)
+
+    def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
+        def body(carry, step):
+            p, o = carry
+            idx = jax.lax.dynamic_index_in_dim(
+                epoch_idx, step, axis=0, keepdims=False)
+            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+            count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+            safe_count = jnp.maximum(count, 1.0)
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step),
+                jax.lax.axis_index(DATA_AXIS))
+
+            def loss_fn(pp):
+                loss_sum, correct = _loss_and_metrics(
+                    pp, imgs, labels, mask, cfg, preprocess, key=key)
+                return loss_sum / safe_count, correct
+
+            (local_loss, correct), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(local_loss, DATA_AXIS)
+            correct = jax.lax.psum(correct, DATA_AXIS)
+            p_new, o_new = opt_update(grads, o, p)
+            if guard_padded_steps:
+                live = count > 0
+                p_new = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(live, new, old), p_new, p)
+                o_new = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(live, new, old), o_new, o)
+            return (p_new, o_new), jnp.stack([loss, correct, count])
+
+        steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), steps)
+        return params, opt_state, metrics
+
+    return opt_init, _shard_train_fn(local_multi, mesh)
+
+
 def opt_specs_like(opt_state, param_specs):
     """PartitionSpec pytree matching an optimizer state: leaves living under
     a param-named dict key (adam mu/nu) inherit that param's spec; scalars
