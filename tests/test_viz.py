@@ -181,3 +181,14 @@ def test_rope_visualizer_cli_compare_models(tmp_path):
               "--dpi", "50", "--output_dir", str(tmp_path)])
     assert any(p.startswith("rope_freq_models_corner")
                for p in os.listdir(tmp_path))
+
+
+def test_rope_visualizer_cli_load_model(tmp_path):
+    from vit_rpe_rope_tpu.cli import rope_visualizer as cli
+
+    path, _ = _save_ckpt(tmp_path, "rope-mixed", "mnist_rope-mixed_best.npz")
+    cli.main(["--load_model", "--model_path", path, "--model_config",
+              "rope-mixed", "--patterns", "corner", "--dpi", "50",
+              "--output_dir", str(tmp_path)])
+    assert any(p.startswith("rope_freq_trained_corner")
+               for p in os.listdir(tmp_path))
