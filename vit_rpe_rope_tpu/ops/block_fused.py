@@ -1,0 +1,172 @@
+"""EXPERIMENTAL: whole-transformer-block fused Pallas kernel (forward).
+
+Computes an ENTIRE pre-LN block — LN1 → qkv → (rotary) → attention → proj →
+residual → LN2 → fc1 → GELU → fc2 → residual — for a batch tile with every
+intermediate resident in VMEM: activations touch HBM once in, once out.
+
+Measured v5e-1 (bs128, ViT-tiny shapes, chained-scan timing): 1.64 ms per
+6-block forward vs 1.45 ms for the XLA path — the fused kernel is ~13%
+SLOWER here. The per-head attention (6 python-unrolled [72, 32]-lane-sliced
+matmuls) and the lane relayouts around them eat the HBM savings. This
+measurement also corrected the perf model: the XLA forward is ~1.45 ms (an
+earlier 0.47 ms reading was loop-invariant code hoisted out of a scan), so
+the 5 ms train step is mostly genuine compute at ~30 TFLOP/s effective —
+small-shape MXU utilization, not kernel-launch overhead, is the wall.
+Kept as groundwork: the win would come from head-batched attention inside
+the kernel + a fused backward (ROADMAP.md).
+
+Scope (prototype): rope-axial / plain PE (cos/sin with the identity cls row,
+as in flash_attention), no logits bias, fp32 params with bf16 MXU multiplies.
+Forward only — the hand-written backward is the round-2 item (see ROADMAP);
+training integration therefore goes through a recompute custom_vjp against
+the XLA block, which keeps gradients exact.
+
+Weights are passed PRE-TRANSPOSED ([in, out]) so every matmul is a plain
+row-major [M, K] @ [K, N].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_rpe_rope_tpu.configs import ViTConfig
+from vit_rpe_rope_tpu.ops.flash_attention import NEG_INF, _pad_seq, _prep_freqs, _round_up
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|error| < 1.5e-7) — Mosaic lowers
+    neither erf nor erfc, so exact-GELU uses this polynomial + exp."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(x, w, b, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bmm(a, b, transpose_rhs=False):
+    contract = ((2,), (2,) if transpose_rhs else (1,))
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=((contract[0], contract[1]), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _block_kernel(x_ref, n1w_ref, n1b_ref, qkvt_ref, projt_ref, projb_ref,
+                  n2w_ref, n2b_ref, fc1t_ref, fc1b_ref, fc2t_ref, fc2b_ref,
+                  cos_ref, sin_ref, out_ref, *, cfg_vals, has_rope):
+    bt, np_pad, e, h, dh, n_valid, eps = cfg_vals
+    x = x_ref[...].astype(jnp.float32)        # [BT, Np, E]
+    xf = x.reshape(bt * np_pad, e)
+
+    hdn = _ln(xf, n1w_ref[...], n1b_ref[...], eps)
+    qkv = _mm(hdn, qkvt_ref[...])             # [BT·Np, 3E]
+
+    if has_rope:
+        cos = cos_ref[...]                    # [Np, Dh/2] identity cls row
+        sin = sin_ref[...]
+
+    scale = dh ** -0.5
+    head_outs = []
+    for hi in range(h):
+        q = qkv[:, hi * dh:(hi + 1) * dh].reshape(bt, np_pad, dh)
+        k = qkv[:, e + hi * dh:e + (hi + 1) * dh].reshape(bt, np_pad, dh)
+        v = qkv[:, 2 * e + hi * dh:2 * e + (hi + 1) * dh].reshape(
+            bt, np_pad, dh)
+        if has_rope:
+            d2 = dh // 2
+            q = jnp.concatenate(
+                [q[..., :d2] * cos - q[..., d2:] * sin,
+                 q[..., :d2] * sin + q[..., d2:] * cos], axis=-1)
+            k = jnp.concatenate(
+                [k[..., :d2] * cos - k[..., d2:] * sin,
+                 k[..., :d2] * sin + k[..., d2:] * cos], axis=-1)
+        s = _bmm(q, k, transpose_rhs=True) * scale  # [BT, Np, Np]
+        if n_valid < np_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < n_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = _bmm(p, v) / denom                # [BT, Np, Dh]
+        head_outs.append(o.reshape(bt * np_pad, dh))
+    attn = jnp.concatenate(head_outs, axis=-1)  # [BT·Np, E]
+    attn = _mm(attn, projt_ref[...]) + projb_ref[...]
+    xf = xf + attn
+
+    hdn = _ln(xf, n2w_ref[...], n2b_ref[...], eps)
+    hmid = _mm(hdn, fc1t_ref[...]) + fc1b_ref[...]
+    hmid = 0.5 * hmid * (1.0 + _erf(hmid * (2.0 ** -0.5)))
+    xf = xf + _mm(hmid, fc2t_ref[...]) + fc2b_ref[...]
+    out_ref[...] = xf.reshape(bt, np_pad, e).astype(out_ref.dtype)
+
+
+def block_forward(x, block_params, cfg: ViTConfig, freqs_cis=None,
+                  batch_tile: int = 8, interpret=None):
+    """One fused-block forward. x: [B, N, E] (cls at 0); block_params uses
+    un-prefixed names (norm1.weight, attn.qkv.weight [3E, E] torch layout,
+    ...). Returns [B, N, E]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, e = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    np_pad = _round_up(n, 8)
+    xp = _pad_seq(x, np_pad, 1)
+    bt = batch_tile
+    while b % bt:
+        bt -= 1
+
+    if freqs_cis is not None:
+        cos, sin = _prep_freqs(freqs_cis, 1, np_pad, jnp.float32)
+        cos, sin = cos[0], sin[0]  # [Np, Dh/2] (axial: shared across heads)
+    else:  # dummies keep the kernel signature static
+        cos = jnp.ones((np_pad, dh // 2), jnp.float32)
+        sin = jnp.zeros((np_pad, dh // 2), jnp.float32)
+
+    weights = [
+        block_params["norm1.weight"], block_params["norm1.bias"],
+        block_params["attn.qkv.weight"].T,    # [E, 3E]
+        block_params["attn.proj.weight"].T,   # [E, E]
+        block_params["attn.proj.bias"],
+        block_params["norm2.weight"], block_params["norm2.bias"],
+        block_params["mlp.fc1.weight"].T,     # [E, Hid]
+        block_params["mlp.fc1.bias"],
+        block_params["mlp.fc2.weight"].T,     # [Hid, E]
+        block_params["mlp.fc2.bias"],
+    ]
+    kernel = functools.partial(
+        _block_kernel,
+        cfg_vals=(bt, np_pad, e, h, dh, n, cfg.layer_norm_eps),
+        has_rope=freqs_cis is not None)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[pl.BlockSpec((bt, np_pad, e), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((bt, np_pad, e), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_pad, e), x.dtype),
+        interpret=interpret,
+    )(xp, *weights, cos, sin)
+    return out[:, :n, :]
