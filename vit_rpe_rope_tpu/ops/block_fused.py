@@ -4,16 +4,15 @@ Computes an ENTIRE pre-LN block — LN1 → qkv → (rotary) → attention → p
 residual → LN2 → fc1 → GELU → fc2 → residual — for a batch tile with every
 intermediate resident in VMEM: activations touch HBM once in, once out.
 
-Measured v5e-1 (bs128, ViT-tiny shapes, chained-scan timing): 1.64 ms per
-6-block forward vs 1.45 ms for the XLA path — the fused kernel is ~13%
-SLOWER here. The per-head attention (6 python-unrolled [72, 32]-lane-sliced
-matmuls) and the lane relayouts around them eat the HBM savings. This
-measurement also corrected the perf model: the XLA forward is ~1.45 ms (an
-earlier 0.47 ms reading was loop-invariant code hoisted out of a scan), so
-the 5 ms train step is mostly genuine compute at ~30 TFLOP/s effective —
-small-shape MXU utilization, not kernel-launch overhead, is the wall.
-Kept as groundwork: the win would come from head-batched attention inside
-the kernel + a fused backward (ROADMAP.md).
+Measured v5e-1 (bs128, ViT-tiny shapes, chained-scan timing): ~1.63 ms per
+6-block forward vs ~1.45-1.48 ms for the XLA path — the fused kernel is ~10%
+slower, with per-head-loop and head-BATCHED attention variants measuring the
+same. Both paths sit at ~27-30 TFLOP/s effective: the wall is small-shape
+MXU utilization (65-token, 192-wide matmuls), which fusing HBM round trips
+does not move. These measurements also corrected the perf model — an earlier
+0.47 ms "forward" reading was loop-invariant code hoisted out of a timing
+scan. Kept as groundwork + documentation of the measured dead end
+(ROADMAP.md): at this model size the XLA path is the right default.
 
 Scope (prototype): rope-axial / plain PE (cos/sin with the identity cls row,
 as in flash_attention), no logits bias, fp32 params with bf16 MXU multiplies.
@@ -85,30 +84,41 @@ def _block_kernel(x_ref, n1w_ref, n1b_ref, qkvt_ref, projt_ref, projb_ref,
         sin = sin_ref[...]
 
     scale = dh ** -0.5
-    head_outs = []
-    for hi in range(h):
-        q = qkv[:, hi * dh:(hi + 1) * dh].reshape(bt, np_pad, dh)
-        k = qkv[:, e + hi * dh:e + (hi + 1) * dh].reshape(bt, np_pad, dh)
-        v = qkv[:, 2 * e + hi * dh:2 * e + (hi + 1) * dh].reshape(
-            bt, np_pad, dh)
-        if has_rope:
-            d2 = dh // 2
-            q = jnp.concatenate(
-                [q[..., :d2] * cos - q[..., d2:] * sin,
-                 q[..., :d2] * sin + q[..., d2:] * cos], axis=-1)
-            k = jnp.concatenate(
-                [k[..., :d2] * cos - k[..., d2:] * sin,
-                 k[..., :d2] * sin + k[..., d2:] * cos], axis=-1)
-        s = _bmm(q, k, transpose_rhs=True) * scale  # [BT, Np, Np]
-        if n_valid < np_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            s = jnp.where(col < n_valid, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = _bmm(p, v) / denom                # [BT, Np, Dh]
-        head_outs.append(o.reshape(bt * np_pad, dh))
-    attn = jnp.concatenate(head_outs, axis=-1)  # [BT·Np, E]
+    # Head-BATCHED attention: fold (BT, H) into one batched-matmul dim so the
+    # MXU sees H·BT problems at once instead of H python-unrolled lane-sliced
+    # matmuls (the per-head variant measured 13% slower than XLA).
+    def split_heads(offset):
+        # [BT·Np, E] lanes -> [H·BT, Np, Dh]. Mosaic cannot reshape across
+        # the lane dim, so slice each head's lanes and stack on a new
+        # leading (head) axis.
+        parts = [
+            qkv[:, offset + hi * dh:offset + (hi + 1) * dh]
+            .reshape(1, bt, np_pad, dh)
+            for hi in range(h)
+        ]
+        return jnp.concatenate(parts, axis=0).reshape(h * bt, np_pad, dh)
+
+    q = split_heads(0)
+    k = split_heads(e)
+    v = split_heads(2 * e)
+    if has_rope:
+        d2 = dh // 2
+        cs = cos[None]  # [1, Np, Dh/2] broadcasts over BT·H
+        sn = sin[None]
+        q = jnp.concatenate([q[..., :d2] * cs - q[..., d2:] * sn,
+                             q[..., :d2] * sn + q[..., d2:] * cs], axis=-1)
+        k = jnp.concatenate([k[..., :d2] * cs - k[..., d2:] * sn,
+                             k[..., :d2] * sn + k[..., d2:] * cs], axis=-1)
+    s = _bmm(q, k, transpose_rhs=True) * scale  # [BT·H, Np, Np]
+    if n_valid < np_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = _bmm(p, v) / denom                    # [H·BT, Np, Dh]
+    o = o.reshape(h, bt * np_pad, dh)
+    attn = jnp.concatenate([o[hi] for hi in range(h)], axis=-1)  # lanes -> E
     attn = _mm(attn, projt_ref[...]) + projb_ref[...]
     xf = xf + attn
 
