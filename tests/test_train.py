@@ -438,3 +438,19 @@ def test_fused_adamw_driver_matches_optax_driver():
         np.testing.assert_allclose(np.asarray(p2[key_]),
                                    np.asarray(p_ref[key_]),
                                    rtol=1e-4, atol=2e-6, err_msg=key_)
+
+
+def test_dispatch_helpers():
+    assert ts.pick_steps_per_dispatch(469) == 7    # 469 = 7 x 67
+    assert ts.pick_steps_per_dispatch(391) == 23   # 391 = 17 x 23
+    assert ts.pick_steps_per_dispatch(400) == 32 or \
+        400 % ts.pick_steps_per_dispatch(400) == 0
+    assert ts.pick_steps_per_dispatch(7) == 7
+    assert ts.pick_steps_per_dispatch(1) == 1
+    ei = ts.epoch_indices(jax.random.PRNGKey(0), 100, 32, False)
+    assert ei.shape == (4, 32)
+    padded = ts.pad_epoch_indices(ei, 3)
+    assert padded.shape == (6, 32)
+    assert int((padded[4:] == -1).all())
+    np.testing.assert_array_equal(np.asarray(ts.pad_epoch_indices(ei, 4)),
+                                  np.asarray(ei))  # already a multiple

@@ -15,9 +15,9 @@ PE handling (SURVEY.md §2.3 taxonomy):
 * logits_bias (relative / polynomial): the [H, N, N] bias is generated once
   per step (outside) and streamed per-head as a VMEM tile; gradients flow to
   the bias through the custom VJP, so the table/coefficients still train.
-* Sequence padding: N is padded to the 128-lane boundary; padded KEY columns
-  are masked to -inf before the softmax (padded query rows are garbage and
-  sliced off by the caller).
+* Sequence padding is asymmetric: queries pad to the 8-sublane boundary,
+  keys to the 128-lane boundary; padded KEY columns are masked to -inf before
+  the softmax (padded query rows are garbage and sliced off by the caller).
 
 Backward: recompute-based custom_vjp. At reference scales (N ≤ 256) the
 backward re-runs the cheap unfused oracle under jax.vjp (exact gradients,
