@@ -192,3 +192,9 @@ def test_rope_visualizer_cli_load_model(tmp_path):
               "--output_dir", str(tmp_path)])
     assert any(p.startswith("rope_freq_trained_corner")
                for p in os.listdir(tmp_path))
+
+
+def test_introspect_wrong_method_helpful_error(tmp_path):
+    path, _ = _save_ckpt(tmp_path, "rope-axial")
+    with pytest.raises(ValueError, match="looks like \\['rope-axial'\\]"):
+        introspect.load_pe_model(path, "rope-mixed")

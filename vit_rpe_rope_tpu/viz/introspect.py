@@ -68,6 +68,22 @@ def load_pe_model(path: str, method: str, grid_size: int = 14,
     grid = grid_from_filename(path, grid_size)
     head_dim = embed_dim // num_heads
 
+    required = {
+        "absolute": "pos_embed.pos_embed",
+        "relative": "pos_embed.relative_position_bias_table",
+        "polynomial": "pos_embed.coefficients",
+        "rope-axial": "pos_embed.inv_freq",
+        "rope-mixed": "pos_embed.freqs",
+    }
+    need = required.get(method)
+    if need is not None and need not in pe_params:
+        guesses = [m for m, k in required.items() if k in pe_params]
+        raise ValueError(
+            f"checkpoint {path} has no '{need}' — it does not look like a "
+            f"'{method}' model (pos_embed keys present: "
+            f"{sorted(pe_params) or 'none'}"
+            + (f"; looks like {guesses}" if guesses else "") + ")")
+
     if method == "relative":
         table = pe_params["pos_embed.relative_position_bias_table"]
         num_heads = int(table.shape[0])
