@@ -81,6 +81,23 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] write a jax.profiler trace here")
     ext.add_argument("--debug_nans", action="store_true",
                      help="[extension] enable jax_debug_nans")
+    ext.add_argument("--model_parallel", type=int, default=1,
+                     help="[extension] tensor-parallel degree: shard attention"
+                          " heads and the MLP hidden dim over the mesh's"
+                          " 'model' axis (must divide num_heads; 1 = pure"
+                          " data parallelism)")
+    ext.add_argument("--drop_rate", type=float, default=0.0,
+                     help="[extension] dropout after attn-proj and MLP"
+                          " linears (the reference constructor accepts this"
+                          " but never forwards it into blocks; effective"
+                          " reference value is 0)")
+    ext.add_argument("--attn_drop_rate", type=float, default=0.0,
+                     help="[extension] dropout on attention probabilities"
+                          " (same reference caveat as --drop_rate)")
+    ext.add_argument("--drop_path_rate", type=float, default=0.0,
+                     help="[extension] per-sample stochastic depth on"
+                          " residual branches (reference instantiates"
+                          " DropPath but always at 0)")
     return parser
 
 
@@ -109,6 +126,9 @@ def main(argv=None):
         rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
         attention_impl=args.attention_impl,
         compute_dtype=args.compute_dtype,
+        drop_rate=args.drop_rate,
+        attn_drop_rate=args.attn_drop_rate,
+        drop_path_rate=args.drop_path_rate,
     )
     tcfg = TrainConfig(
         dataset=args.dataset,
@@ -125,6 +145,7 @@ def main(argv=None):
         debug_nans=args.debug_nans,
         resume=args.resume,
         augment=args.augment,
+        model_parallel=args.model_parallel,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

@@ -38,6 +38,18 @@ class ViTConfig:
     rope_theta: float = 100.0
     poly_degree: int = 3
     poly_shared_heads: bool = True
+    # Regularization knobs, constructor-parity with the reference
+    # (/root/reference/models/vit.py:28,110-115 accepts drop_rate /
+    # attn_drop_rate and instantiates DropPath). Note the reference never
+    # actually forwards them into its blocks (Block(embed_dim, num_heads,
+    # mlp_ratio) at vit.py:200 drops them), so its effective rates are always
+    # 0 (SURVEY.md Q11); here they are functional. Placement when nonzero
+    # matches where the reference modules would apply them: attn_drop on the
+    # softmax probabilities, drop (proj_drop/Mlp drop) after attn-proj and
+    # after each MLP linear, drop_path on each residual branch per sample.
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
     # Reference RoPE-Mixed reinterprets the [H, S, D/2] phase tensor through a
     # .view(S, H, -1).permute(1, 0, 2), scrambling (head, position) when H != S
     # (/root/reference/models/positional_encoding.py:337-342; SURVEY.md Q1).
@@ -74,6 +86,15 @@ class ViTConfig:
                     "RoPE variants require head_dim divisible by 4; got "
                     f"head_dim={self.head_dim}"
                 )
+        for name in ("drop_rate", "attn_drop_rate", "drop_path_rate"):
+            rate = getattr(self, name)
+            if not 0.0 <= rate < 1.0:
+                raise ValueError(f"{name} must be in [0, 1); got {rate}")
+
+    @property
+    def has_dropout(self) -> bool:
+        return (self.drop_rate > 0.0 or self.attn_drop_rate > 0.0
+                or self.drop_path_rate > 0.0)
 
     @property
     def grid_size(self) -> int:
@@ -124,10 +145,16 @@ class TrainConfig:
     # of steps-per-epoch ≤ 32 on TPU, 1 on CPU). Removes per-step host
     # dispatch overhead.
     steps_per_dispatch: int = 0
+    # Tensor parallelism degree: shard attention heads / MLP hidden over the
+    # mesh's 'model' axis (parallel/tensor_parallel.py). 1 = pure DP.
+    model_parallel: int = 1
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
             raise ValueError(f"Unknown dataset: {self.dataset}")
+        if self.model_parallel < 1:
+            raise ValueError(
+                f"model_parallel must be >= 1; got {self.model_parallel}")
 
     @property
     def in_chans(self) -> int:

@@ -165,39 +165,29 @@ def _attention_impl(cfg: ViTConfig) -> str:
     return impl
 
 
-def _block(params, prefix, x, cfg, bias, freqs_cis, impl):
-    """Pre-LN transformer block (/root/reference/models/vit.py:100-129):
-    x + attn(LN1(x)); x + mlp(LN2(x)). drop_path/dropout are always 0 in the
-    reference (SURVEY.md Q11) and are omitted."""
-    eps = cfg.layer_norm_eps
-    h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
-                    params[f"{prefix}.norm1.bias"], eps)
-    bsz, n, e = h.shape
-    nh, dh = cfg.num_heads, cfg.head_dim
-    qkv = _linear(h, params[f"{prefix}.attn.qkv.weight"])  # [B, N, 3E]
-    qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, H, N, Dh]
-    scale = dh ** -0.5
-    if impl == "flash":
-        attn_out = flash_attention.flash_attention(
-            q, k, v, scale, bias=bias, freqs_cis=freqs_cis
-        )
-    else:
-        attn_out = reference_attention.attention(
-            q, k, v, scale, bias=bias, freqs_cis=freqs_cis
-        )
-    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
-    attn_out = _linear(attn_out, params[f"{prefix}.attn.proj.weight"],
-                       params[f"{prefix}.attn.proj.bias"])
-    x = x + attn_out
-    h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
-                    params[f"{prefix}.norm2.bias"], eps)
-    h = _linear(h, params[f"{prefix}.mlp.fc1.weight"],
-                params[f"{prefix}.mlp.fc1.bias"])
-    h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
-    h = _linear(h, params[f"{prefix}.mlp.fc2.weight"],
-                params[f"{prefix}.mlp.fc2.bias"])
-    return x + h
+def _dropout(x, rate, key):
+    """Inverted dropout, torch nn.Dropout train-mode semantics (keep-scaled)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _drop_path(x, rate, key):
+    """Stochastic depth per sample (timm DropPath, instantiated by
+    /root/reference/models/vit.py:115): zero a residual branch for a random
+    subset of examples, survivors scaled by 1/keep."""
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _block(params, prefix, x, cfg, bias, freqs_cis, impl, rng=None):
+    """Pre-LN transformer block (/root/reference/models/vit.py:100-129) on
+    prefix-keyed flat params; delegates to _block_body."""
+    block_params = {name: params[f"{prefix}.{name}"]
+                    for name in BLOCK_PARAM_NAMES}
+    return _block_body(block_params, x, cfg, bias, freqs_cis, impl, rng)
 
 
 # ---------------------------------------------------------------------------
@@ -233,9 +223,18 @@ def unstack_block_params(stacked: dict, cfg: ViTConfig) -> dict:
     return out
 
 
-def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl):
-    """One pre-LN block on un-prefixed block params (scan body)."""
+def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
+    """One pre-LN block on un-prefixed block params (scan body).
+
+    rng=None (eval, or all dropout rates 0 — the reference's effective
+    regime, SURVEY.md Q11) is the deterministic path, byte-identical to the
+    pre-dropout program. With rng set and nonzero rates, dropout lands where
+    the reference modules place it: attn probs (Attention.attn_drop), after
+    attn-proj (proj_drop), after each MLP linear (timm Mlp drop), and
+    per-sample drop-path on both residual branches."""
     eps = cfg.layer_norm_eps
+    drop = rng is not None and cfg.has_dropout
+    keys = list(jax.random.split(rng, 6)) if drop else [None] * 6
     h = _layer_norm(x, block_params["norm1.weight"],
                     block_params["norm1.bias"], eps)
     bsz, n, e = h.shape
@@ -244,25 +243,40 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl):
     qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = dh ** -0.5
-    if impl == "flash":
+    attn_dropping = drop and cfg.attn_drop_rate > 0
+    if impl == "flash" and not attn_dropping:
         attn_out = flash_attention.flash_attention(
             q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
     else:
+        # Attn-prob dropout needs the materialized probabilities, so it
+        # always runs on the unfused path.
         attn_out = reference_attention.attention(
-            q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
+            q, k, v, scale, bias=bias, freqs_cis=freqs_cis,
+            dropout_rate=cfg.attn_drop_rate if attn_dropping else 0.0,
+            dropout_key=keys[0])
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
     attn_out = _linear(attn_out, block_params["attn.proj.weight"],
                        block_params["attn.proj.bias"])
+    if drop and cfg.drop_rate > 0:
+        attn_out = _dropout(attn_out, cfg.drop_rate, keys[1])
+    if drop and cfg.drop_path_rate > 0:
+        attn_out = _drop_path(attn_out, cfg.drop_path_rate, keys[2])
     x = x + attn_out
     h = _layer_norm(x, block_params["norm2.weight"],
                     block_params["norm2.bias"], eps)
     h = _linear(h, block_params["mlp.fc1.weight"], block_params["mlp.fc1.bias"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+    if drop and cfg.drop_rate > 0:
+        h = _dropout(h, cfg.drop_rate, keys[3])
     h = _linear(h, block_params["mlp.fc2.weight"], block_params["mlp.fc2.bias"])
+    if drop and cfg.drop_rate > 0:
+        h = _dropout(h, cfg.drop_rate, keys[4])
+    if drop and cfg.drop_path_rate > 0:
+        h = _drop_path(h, cfg.drop_path_rate, keys[5])
     return x + h
 
 
-def apply_stacked(stacked: dict, images, cfg: ViTConfig):
+def apply_stacked(stacked: dict, images, cfg: ViTConfig, rng=None):
     """Forward on depth-stacked params. Numerically identical to apply()
     (same per-block math, same order).
 
@@ -298,15 +312,19 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig):
     for i in range(cfg.depth):
         block_params = {name: stacked[f"blocks.{name}"][i]
                         for name in BLOCK_PARAM_NAMES}
-        x = block_fn(block_params, x, cfg, bias, freqs_cis, impl)
+        block_rng = None if rng is None else jax.random.fold_in(rng, i)
+        x = block_fn(block_params, x, cfg, bias, freqs_cis, impl, block_rng)
     x = _layer_norm(x, stacked["norm.weight"], stacked["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], stacked["head.weight"], stacked["head.bias"])
     return logits.astype(jnp.float32)
 
 
-def forward_features(params, images, cfg: ViTConfig):
-    """[B, H, W, C] images -> [B, L, E] token features after all blocks."""
+def forward_features(params, images, cfg: ViTConfig, rng=None):
+    """[B, H, W, C] images -> [B, L, E] token features after all blocks.
+
+    rng: optional PRNG key enabling train-mode dropout/drop-path when the
+    corresponding cfg rates are nonzero; None = deterministic (eval)."""
     pe_mod = pe_registry.get(cfg.pos_encoding)
     dtype = jnp.dtype(cfg.compute_dtype)
     x = patch_embed(params, images.astype(dtype), cfg)  # [B, S, E]
@@ -327,15 +345,17 @@ def forward_features(params, images, cfg: ViTConfig):
 
     impl = _attention_impl(cfg)
     for i in range(cfg.depth):
-        x = _block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl)
+        block_rng = None if rng is None else jax.random.fold_in(rng, i)
+        x = _block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
+                   block_rng)
     return x
 
 
-def apply(params, images, cfg: ViTConfig):
+def apply(params, images, cfg: ViTConfig, rng=None):
     """Full forward: [B, H, W, C] images -> [B, num_classes] logits
     (classification from the cls token, /root/reference/models/vit.py:273-286).
-    """
-    x = forward_features(params, images, cfg)
+    rng enables train-mode dropout (see forward_features)."""
+    x = forward_features(params, images, cfg, rng)
     x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], params["head.weight"], params["head.bias"])

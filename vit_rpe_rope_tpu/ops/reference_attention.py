@@ -11,6 +11,7 @@ additive logits bias [H, N, N], or neither.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vit_rpe_rope_tpu.ops.rotary import apply_rotary_emb
@@ -26,11 +27,15 @@ def rotate_qk_skip_cls(q, k, freqs_cis):
     return q, k
 
 
-def attention(q, k, v, scale, bias=None, freqs_cis=None):
+def attention(q, k, v, scale, bias=None, freqs_cis=None, dropout_rate=0.0,
+              dropout_key=None):
     """Scaled dot-product MHA over [B, H, N, D] inputs.
 
     bias: optional [H, N, N] additive logits bias (relative / polynomial).
     freqs_cis: optional (cos, sin) for rotary PE (axial / mixed).
+    dropout_rate/dropout_key: optional train-mode dropout on the softmax
+    probabilities (reference Attention.attn_drop,
+    /root/reference/models/vit.py:36,85).
     Returns [B, H, N, D]. Softmax statistics are computed in float32.
     """
     if freqs_cis is not None:
@@ -42,6 +47,10 @@ def attention(q, k, v, scale, bias=None, freqs_cis=None):
         logits = logits + bias[None].astype(logits.dtype)
     probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_key, keep, probs.shape)
+        probs = jnp.where(mask, probs / keep, jnp.zeros_like(probs))
     return jnp.einsum(
         "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

@@ -36,6 +36,15 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
     if batch_size is not None:
         n_data = math.gcd(n_data, batch_size)
     n_use = n_data * model_parallel
+    if n_use < n:
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: using {n_use} of {n} devices — batch_size="
+            f"{batch_size} is not divisible by the {n // model_parallel}"
+            f"-way data axis (shards need identical static shapes). Pick a "
+            f"batch size divisible by the device count to use all devices.",
+            stacklevel=2)
     arr = np.array(devices[:n_use]).reshape(n_data, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -32,7 +32,8 @@ from vit_rpe_rope_tpu.configs import (
     PE_KIND_QK_ROTATION,
     ViTConfig,
 )
-from vit_rpe_rope_tpu.models.vit import _attention_impl, _layer_norm, _linear, patch_embed
+from vit_rpe_rope_tpu.models.vit import (
+    _attention_impl, _drop_path, _dropout, _layer_norm, _linear, patch_embed)
 from vit_rpe_rope_tpu.ops import flash_attention, reference_attention
 from vit_rpe_rope_tpu.parallel.mesh import (
     MODEL_AXIS, P, identity_fwd_psum_bwd, psum_identity_bwd)
@@ -60,6 +61,37 @@ def restore_reference_params(tp_params: dict, cfg: ViTConfig) -> dict:
     return out
 
 
+def _map_qkv_leaves(tree, fn):
+    """Apply fn to every pytree leaf nested under a dict key ending in
+    '.attn.qkv.weight' (i.e. the qkv param itself or its optimizer moments)."""
+    def visit(path, leaf):
+        for p in path:
+            if (isinstance(p, jax.tree_util.DictKey)
+                    and p.key.endswith(".attn.qkv.weight")):
+                return fn(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, tree)
+
+
+def prepare_tp_opt_state(opt_state, cfg: ViTConfig):
+    """Reshape an optimizer state's qkv moments from reference layout
+    [3E, E] to the TP layout [3, H, Dh, E] (checkpoints stay reference
+    layout on disk; see loop.fit's resume path)."""
+    h, dh, e = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    return _map_qkv_leaves(
+        opt_state,
+        lambda x: x.reshape(3, h, dh, e) if getattr(x, "ndim", 0) == 2 else x)
+
+
+def restore_reference_opt_state(opt_state, cfg: ViTConfig):
+    """Inverse of prepare_tp_opt_state."""
+    e = cfg.embed_dim
+    return _map_qkv_leaves(
+        opt_state,
+        lambda x: x.reshape(3 * e, e) if getattr(x, "ndim", 0) == 4 else x)
+
+
 def tp_param_specs(params: dict, cfg: ViTConfig) -> dict:
     """PartitionSpec per (TP-prepared) param key for shard_map in_specs."""
     specs = {}
@@ -84,8 +116,14 @@ def _local_heads(arr, axis_index, local_h):
     return jax.lax.dynamic_slice_in_dim(arr, axis_index * local_h, local_h, 0)
 
 
-def _tp_block(params, prefix, x, cfg, bias, freqs_cis, impl, tp):
+def _tp_block(params, prefix, x, cfg, bias, freqs_cis, impl, tp, rng=None):
     eps = cfg.layer_norm_eps
+    # Dropout keys: masks on model-axis-SHARDED tensors (attn probs over
+    # local heads, MLP hidden rows) fold in the shard index; masks on
+    # REPLICATED activations (post-psum proj/fc2 outputs, drop-path) must be
+    # identical on every shard or replication breaks.
+    drop = rng is not None and cfg.has_dropout
+    keys = list(jax.random.split(rng, 6)) if drop else [None] * 6
     h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
                     params[f"{prefix}.norm1.bias"], eps)
     # Megatron "f": identity fwd / psum bwd — the attention backward on this
@@ -112,12 +150,16 @@ def _tp_block(params, prefix, x, cfg, bias, freqs_cis, impl, tp):
             sin = _local_heads(sin, my, local_h)
         local_freqs = (cos, sin)
 
-    if impl == "flash":
+    attn_dropping = drop and cfg.attn_drop_rate > 0
+    if impl == "flash" and not attn_dropping:
         attn_out = flash_attention.flash_attention(
             q, k, v, scale, bias=local_bias, freqs_cis=local_freqs)
     else:
         attn_out = reference_attention.attention(
-            q, k, v, scale, bias=local_bias, freqs_cis=local_freqs)
+            q, k, v, scale, bias=local_bias, freqs_cis=local_freqs,
+            dropout_rate=cfg.attn_drop_rate if attn_dropping else 0.0,
+            dropout_key=(jax.random.fold_in(keys[0], my)
+                         if attn_dropping else None))
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, local_h * dh)
 
     # proj: local input columns (this shard's heads) -> partial sum -> psum.
@@ -126,6 +168,10 @@ def _tp_block(params, prefix, x, cfg, bias, freqs_cis, impl, tp):
                          preferred_element_type=jnp.float32).astype(x.dtype)
     attn_out = psum_identity_bwd(partial, MODEL_AXIS) \
         + params[f"{prefix}.attn.proj.bias"].astype(x.dtype)
+    if drop and cfg.drop_rate > 0:
+        attn_out = _dropout(attn_out, cfg.drop_rate, keys[1])
+    if drop and cfg.drop_path_rate > 0:
+        attn_out = _drop_path(attn_out, cfg.drop_path_rate, keys[2])
     x = x + attn_out
 
     h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
@@ -134,18 +180,25 @@ def _tp_block(params, prefix, x, cfg, bias, freqs_cis, impl, tp):
     h = _linear(h, params[f"{prefix}.mlp.fc1.weight"],
                 params[f"{prefix}.mlp.fc1.bias"])  # local rows of Hid
     h = jax.nn.gelu(h, approximate=False)
+    if drop and cfg.drop_rate > 0:
+        h = _dropout(h, cfg.drop_rate, jax.random.fold_in(keys[3], my))
     partial = jnp.einsum("bnk,ok->bno", h,
                          params[f"{prefix}.mlp.fc2.weight"].astype(h.dtype),
                          preferred_element_type=jnp.float32).astype(h.dtype)
     mlp_out = psum_identity_bwd(partial, MODEL_AXIS) \
         + params[f"{prefix}.mlp.fc2.bias"].astype(x.dtype)
+    if drop and cfg.drop_rate > 0:
+        mlp_out = _dropout(mlp_out, cfg.drop_rate, keys[4])
+    if drop and cfg.drop_path_rate > 0:
+        mlp_out = _drop_path(mlp_out, cfg.drop_path_rate, keys[5])
     return x + mlp_out
 
 
-def apply_tp(params: dict, images, cfg: ViTConfig):
+def apply_tp(params: dict, images, cfg: ViTConfig, rng=None):
     """TP forward: same contract as models.vit.apply, but expects TP-prepared,
     'model'-axis-sharded params and MUST run inside shard_map over a mesh with
-    MODEL_AXIS. Activations are replicated across 'model'."""
+    MODEL_AXIS. Activations are replicated across 'model'. rng enables
+    train-mode dropout (pass the SAME key on every model shard)."""
     pe_mod = pe_registry.get(cfg.pos_encoding)
     dtype = jnp.dtype(cfg.compute_dtype)
     x = patch_embed(params, images.astype(dtype), cfg)
@@ -165,8 +218,9 @@ def apply_tp(params: dict, images, cfg: ViTConfig):
 
     impl = _attention_impl(cfg)
     for i in range(cfg.depth):
+        block_rng = None if rng is None else jax.random.fold_in(rng, i)
         x = _tp_block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
-                      tp=True)
+                      tp=True, rng=block_rng)
     x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], params["head.weight"], params["head.bias"])

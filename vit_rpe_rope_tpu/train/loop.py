@@ -26,6 +26,7 @@ from tqdm import tqdm
 from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
 from vit_rpe_rope_tpu.data import datasets
 from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
 from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
 from vit_rpe_rope_tpu.train import train_step as ts
 from vit_rpe_rope_tpu.utils import checkpoint
@@ -62,9 +63,14 @@ def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool,
         metrics.append(m if m.ndim == 2 else m[None])
         if (s // k) % POSTFIX_EVERY == 0 and s > 0:
             stacked = np.asarray(jnp.concatenate(metrics[:-1]))  # older values
+            seen = max(stacked[:, 2].sum(), 1)
+            # Reference tqdm quirk preserved: the LIVE postfix divides the
+            # SUM OF BATCH-MEAN losses by the SAMPLE count
+            # (/root/reference/train.py:118,123) while the returned epoch
+            # loss divides it by the BATCH count (train.py:125).
             pbar.set_postfix(
-                loss=float(stacked[:, 0].mean()),
-                acc=100.0 * stacked[:, 1].sum() / max(stacked[:, 2].sum(), 1),
+                loss=float(stacked[:, 0].sum() / seen),
+                acc=100.0 * stacked[:, 1].sum() / seen,
             )
     stacked = np.asarray(jnp.concatenate(metrics))
     # Drop fully-padded trailing steps (count == 0) so the reference's
@@ -93,7 +99,13 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     bundle = datasets.get_dataset(
         tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
-    mesh = make_mesh(batch_size=tcfg.batch_size)
+    mesh = make_mesh(batch_size=tcfg.batch_size,
+                     model_parallel=tcfg.model_parallel)
+    use_tp = tcfg.model_parallel > 1
+    if use_tp and cfg.num_heads % tcfg.model_parallel != 0:
+        raise ValueError(
+            f"model_parallel={tcfg.model_parallel} must divide "
+            f"num_heads={cfg.num_heads}")
     replicated = NamedSharding(mesh, P())
     idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     train_x = jax.device_put(bundle.train_x, replicated)
@@ -120,6 +132,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         k = (ts.pick_steps_per_dispatch(steps_per_epoch)
              if jax.default_backend() == "tpu" else 1)
     k = max(1, min(k, steps_per_epoch))
+    if use_tp:
+        k = 1  # the TP step is a per-step driver
     # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
     # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
     # kernels collapse to a handful); the reference-keyed dict stays the
@@ -130,25 +144,53 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
     unflatten_j = jax.jit(
         lambda v: vit.unstack_block_params(flattener.unflatten(v), cfg))
-    if use_flat:
+    if use_tp:
+        # Tensor parallelism: heads/MLP-hidden sharded over 'model'
+        # (parallel/tensor_parallel.py). Train state lives in TP layout on
+        # the mesh; eval/checkpoints see the reference layout via gather_j
+        # (on-device reshape + all-gather, no host round-trip).
+        param_specs = tp.tp_param_specs(tp.prepare_tp_params(params, cfg), cfg)
+        tp_shardings = {kk: NamedSharding(mesh, s)
+                        for kk, s in param_specs.items()}
+        prepare_j = jax.jit(lambda p: tp.prepare_tp_params(p, cfg),
+                            out_shardings=tp_shardings)
+        gather_j = jax.jit(lambda p: tp.restore_reference_params(p, cfg),
+                           out_shardings=replicated)
+        train_params = prepare_j(params)
+        opt_state = jax.jit(tx.init)(train_params)  # inherits TP shardings
+    elif use_flat:
         train_params = jax.device_put(flatten_j(params), replicated)
+        opt_state = jax.device_put(tx.init(train_params), replicated)
     else:
         train_params = params
-    opt_state = jax.device_put(tx.init(train_params), replicated)
+        opt_state = jax.device_put(tx.init(train_params), replicated)
 
     last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
     start_epoch, best_acc = 0, 0.0
     if tcfg.resume and os.path.exists(last_path):
+        # On-disk train state is always reference layout (params AND
+        # optimizer moments); TP re-prepares both after loading.
         params, opt_state, start_epoch, best_acc = checkpoint.load_train_state(
-            last_path, opt_state)
+            last_path, jax.device_get(opt_state))
         params = jax.device_put(params, replicated)
-        train_params = flatten_j(params) if use_flat else params
-        opt_state = jax.device_put(opt_state, replicated)
+        if use_tp:
+            opt_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                ts.opt_specs_like(opt_state, param_specs),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            train_params = prepare_j(params)
+            opt_state = jax.jit(lambda o: tp.prepare_tp_opt_state(o, cfg),
+                                out_shardings=opt_shardings)(opt_state)
+        else:
+            train_params = flatten_j(params) if use_flat else params
+            opt_state = jax.device_put(opt_state, replicated)
         if verbose:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    if use_flat:
+    if use_tp:
+        train_fn = ts.make_tp_train_step(cfg, tcfg, mesh, tx, preprocess)
+    elif use_flat:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
             apply_fn=vit.apply_stacked,
@@ -183,7 +225,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             (train_params, opt_state), train_loss, train_acc, train_ips = \
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
                            train_y, epoch_idx, "Training", True, k=k)
-            params = unflatten_j(train_params) if use_flat else train_params
+            if use_tp:
+                params = gather_j(train_params)
+            else:
+                params = unflatten_j(train_params) if use_flat else train_params
             (_, _), test_loss, test_acc, _ = _run_epoch(
                 eval_fn, (params, None), test_x, test_y, eval_idx,
                 "Testing", False, k=k_eval)
@@ -195,9 +240,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                     jax.device_get(params), vit.buffers(cfg),
                     aliases=vit.reference_alias_keys(cfg))
             if tcfg.save_last:
+                if use_tp:
+                    opt_to_save = jax.device_get(jax.jit(
+                        lambda o: tp.restore_reference_opt_state(o, cfg)
+                    )(opt_state))
+                else:
+                    opt_to_save = jax.device_get(opt_state)
                 checkpoint.save_train_state(
-                    last_path, jax.device_get(params),
-                    jax.device_get(opt_state), epoch, best_acc)
+                    last_path, jax.device_get(params), opt_to_save, epoch,
+                    best_acc)
 
             with open(log_file, "a", newline="") as f:
                 csv.writer(f).writerow(

@@ -99,8 +99,17 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
     (whose internal 'model'-axis psums are differentiated correctly because
     activations there are genuinely partial sums, not replicas)."""
     apply_fn = apply_fn or vit.apply
-    logits = apply_fn(params, preprocess(imgs, key) if key is not None
-                      else preprocess(imgs), cfg)
+    if key is not None:
+        # Train mode: one subkey for augmentation, one for dropout (the
+        # latter only consumed when cfg has nonzero rates).
+        aug_key, drop_key = jax.random.split(key)
+        x = preprocess(imgs, aug_key)
+        rng = drop_key if cfg.has_dropout else None
+    else:
+        x = preprocess(imgs)
+        rng = None
+    logits = (apply_fn(params, x, cfg) if rng is None
+              else apply_fn(params, x, cfg, rng=rng))
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_sum = jnp.sum(losses * mask)
     pred = jnp.argmax(logits, axis=-1)
@@ -233,8 +242,8 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
 
     base_apply = apply_fn or vit.apply
 
-    def flat_apply(pf, imgs, cfg_):
-        return base_apply(flattener.unflatten(pf), imgs, cfg_)
+    def flat_apply(pf, imgs, cfg_, rng=None):
+        return base_apply(flattener.unflatten(pf), imgs, cfg_, rng)
 
     def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
         def body(carry, step):
@@ -355,10 +364,16 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             epoch_idx, step[0], axis=0, keepdims=False)
         imgs, labels, mask = _gather_batch(data_x, data_y, idx)
         count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        # Augment/dropout key: per (step, data shard), IDENTICAL across the
+        # model axis (activations/masks there must stay replicated).
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step[0]),
+            jax.lax.axis_index(DATA_AXIS))
 
         def loss_fn(p):
             loss_sum, correct = _loss_and_metrics(
-                p, imgs, labels, mask, cfg, preprocess, apply_fn=tp.apply_tp)
+                p, imgs, labels, mask, cfg, preprocess, apply_fn=tp.apply_tp,
+                key=key)
             return loss_sum / count, correct
 
         (local_loss, correct), grads = jax.value_and_grad(
