@@ -215,8 +215,9 @@ def test_streaming_backward_matches_oracle(rope):
     out = fa._forward_streaming(q, k, v, scale, None, freqs, interpret=True,
                                 mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(21), out.shape) * 0.1
-    dq, dk, dv = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
-                                   interpret=True, mm_dtype=jnp.float32)
+    dq, dk, dv, _, _ = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
+                                         interpret=True,
+                                         mm_dtype=jnp.float32)
 
     def oracle(q, k, v):
         return ra.attention(q, k, v, scale, freqs_cis=freqs)
@@ -249,3 +250,103 @@ def test_long_sequence_custom_vjp_end_to_end():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-4)
+
+
+def test_streaming_backward_dbias_matches_oracle():
+    """The in-kernel batch-accumulated dbias (VERDICT r1 #4): streaming
+    backward with a bias tensor must match the oracle's bias gradient —
+    no [B, H, Nq, Nk] materialization anywhere."""
+    n, h, d, b = 626, 2, 32, 3
+    q, k, v = make_qkv(jax.random.PRNGKey(30), b, h, n, d)
+    bias = jax.random.normal(jax.random.PRNGKey(31), (h, n, n)) * 0.3
+    scale = d ** -0.5
+    out = fa._forward_streaming(q, k, v, scale, bias, None, interpret=True,
+                                mm_dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(32), out.shape) * 0.1
+    dq, dk, dv, dbias, dfreqs = fa._bwd_streaming(
+        scale, q, k, v, bias, None, out, g, interpret=True,
+        mm_dtype=jnp.float32, want_dbias=True)
+    assert dfreqs is None
+
+    def oracle(q, k, v, bias):
+        return ra.attention(q, k, v, scale, bias=bias)
+
+    _, vjp = jax.vjp(oracle, q, k, v, bias)
+    dq_r, dk_r, dv_r, dbias_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_r),
+                               rtol=1e-4, atol=1e-5)
+    for a, bb in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_backward_dfreqs_learnable_rope():
+    """Learnable per-head (rope-mixed-style) frequencies: the streaming
+    backward's (dcos, dsin) — reduced from rotated-space q/k gradients —
+    must match the oracle's cotangents."""
+    n, h, d, b = 626, 2, 32, 2
+    q, k, v = make_qkv(jax.random.PRNGKey(40), b, h, n, d)
+    cos = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(41),
+                                        (h, n - 1, d // 2))
+    sin = 0.1 * jax.random.normal(jax.random.PRNGKey(42), (h, n - 1, d // 2))
+    scale = d ** -0.5
+    out = fa._forward_streaming(q, k, v, scale, None, (cos, sin),
+                                interpret=True, mm_dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(43), out.shape) * 0.1
+    dq, dk, dv, dbias, dfreqs = fa._bwd_streaming(
+        scale, q, k, v, None, (cos, sin), out, g, interpret=True,
+        mm_dtype=jnp.float32, want_dfreqs=True)
+    assert dbias is None
+
+    def oracle(q, k, v, cos, sin):
+        return ra.attention(q, k, v, scale, freqs_cis=(cos, sin))
+
+    _, vjp = jax.vjp(oracle, q, k, v, cos, sin)
+    dq_r, dk_r, dv_r, dcos_r, dsin_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dfreqs[0]), np.asarray(dcos_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfreqs[1]), np.asarray(dsin_r),
+                               rtol=1e-4, atol=1e-5)
+    for a, bb in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bias", "mixed"])
+def test_long_sequence_vjp_bias_and_mixed_end_to_end(mode):
+    """Above the streaming threshold, grad(flash_attention) now covers the
+    bias and learnable-frequency regimes through the tiled backward (no
+    oracle fallback)."""
+    n, h, d = fa.STREAMING_THRESHOLD + 60, 1, 32
+    q, k, v = make_qkv(jax.random.PRNGKey(50), 1, h, n, d)
+    scale = d ** -0.5
+    if mode == "bias":
+        bias = jax.random.normal(jax.random.PRNGKey(51), (h, n, n)) * 0.1
+
+        def loss_flash(bias):
+            return jnp.sum(fa.flash_attention_hp(q, k, v, scale,
+                                                 bias=bias) ** 2)
+
+        def loss_ref(bias):
+            return jnp.sum(ra.attention(q, k, v, scale, bias=bias) ** 2)
+
+        gf = jax.grad(loss_flash)(bias)
+        gr = jax.grad(loss_ref)(bias)
+    else:
+        cos = 1.0 + 0.05 * jax.random.normal(jax.random.PRNGKey(52),
+                                             (h, n - 1, d // 2))
+        sin = 0.05 * jax.random.normal(jax.random.PRNGKey(53),
+                                       (h, n - 1, d // 2))
+
+        def loss_flash(cos, sin):
+            return jnp.sum(fa.flash_attention_hp(
+                q, k, v, scale, freqs_cis=(cos, sin)) ** 2)
+
+        def loss_ref(cos, sin):
+            return jnp.sum(ra.attention(
+                q, k, v, scale, freqs_cis=(cos, sin)) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1))(cos, sin)[0]
+        gr = jax.grad(loss_ref, argnums=(0, 1))(cos, sin)[0]
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=1e-4)

@@ -22,10 +22,11 @@ PE handling (SURVEY.md §2.3 taxonomy):
 Backward: recompute-based custom_vjp. At reference scales (N ≤ 256) the
 backward re-runs the cheap unfused oracle under jax.vjp (exact gradients,
 nothing big saved). Above STREAMING_THRESHOLD it switches to tiled Pallas
-backward kernels (dq and dk/dv passes recomputing p from the per-row
-logsumexp), so neither direction ever materializes [Nq, Nk] — except when a
-gradient is required for a bias tensor or learnable per-head frequencies,
-which still routes through the oracle.
+backward kernels for EVERY PE regime: dq and dk/dv passes recompute p from
+the per-row logsumexp; dbias accumulates ds tiles over batch in-kernel
+(batch-innermost grid); learnable rope-mixed frequencies get (dcos, dsin)
+from the rotated-space q/k gradients. Nothing larger than the caller's own
+[H, N, N] bias ever materializes in either direction.
 """
 
 from __future__ import annotations
@@ -400,7 +401,7 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 
 def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                           *rest, dq_ref, acc_ref, scale, n_valid, kv_tile,
-                          has_bias, has_rope, mm_dtype):
+                          has_bias, has_rope, mm_dtype, dqr_ref=None):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     if has_bias:
@@ -444,6 +445,10 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     @pl.when(ki == n_kv - 1)
     def _():
         out = acc_ref[...]
+        if dqr_ref is not None:
+            # Gradient w.r.t. the ROTATED q — consumed by the dcos/dsin
+            # (learnable rope-mixed frequencies) reduction outside.
+            dqr_ref[0, 0] = out.astype(dqr_ref.dtype)
         if has_rope:  # inverse rotation back to unrotated-q space
             out = _rotate(out, cos_q_ref[0].astype(jnp.float32),
                           -sin_q_ref[0].astype(jnp.float32))
@@ -452,7 +457,8 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            *rest, dk_ref, dv_ref, dk_acc, dv_acc, scale,
-                           n_valid, kv_tile, has_bias, has_rope, mm_dtype):
+                           n_valid, kv_tile, has_bias, has_rope, mm_dtype,
+                           dkr_ref=None):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     if has_bias:
@@ -503,11 +509,65 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     @pl.when(qi == n_q - 1)
     def _():
         dk = dk_acc[...]
+        if dkr_ref is not None:
+            dkr_ref[0, 0] = dk.astype(dkr_ref.dtype)
         if has_rope:
             dk = _rotate(dk, cos_k_ref[0].astype(jnp.float32),
                          -sin_k_ref[0].astype(jnp.float32))
         dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _stream_bwd_dbias_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                             *rest, dbias_ref, acc_ref, scale, n_valid,
+                             kv_tile, has_bias, has_rope, mm_dtype):
+    """dbias tile = Σ_batch ds tile, with BATCH as the innermost grid dim so
+    the [Tq, Tkv] accumulator lives in VMEM scratch across batch steps. The
+    bias gradient therefore streams exactly like the forward — no [B, H, Nq,
+    Nk] tensor ever exists (the [H, Nq, Nk] RESULT is the same size as the
+    bias input itself). Padded query rows contribute ds = 0 (g and delta are
+    zero-padded); padded key columns are masked to p = 0."""
+    idx = 0
+    bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]; idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+
+    ki = pl.program_id(2)
+    bi = pl.program_id(3)
+    n_b = pl.num_programs(3)
+
+    @pl.when(bi == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    gv = jax.lax.dot_general(
+        g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0][:, None])
+    acc_ref[...] += ds
+
+    @pl.when(bi == n_b - 1)
+    def _():
+        dbias_ref[0] = acc_ref[...].astype(dbias_ref.dtype)
 
 
 def _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype):
@@ -533,7 +593,13 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype):
 
 
 def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
-                   mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+                   mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
+                   want_dbias=False, want_dfreqs=False):
+    """Tiled streaming backward. Returns (dq, dk, dv, dbias, dfreqs):
+    dbias [H, N, N] when want_dbias (batch-accumulated in-kernel — same size
+    as the bias input, nothing bigger materializes); dfreqs (dcos, dsin)
+    matching the input freqs_cis when want_dfreqs (learnable rope-mixed),
+    reduced from the rotated-space q/k gradients outside the kernels."""
     b, h, n, d = q.shape
     lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -624,73 +690,191 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     dq_kernel = functools.partial(
         _stream_bwd_dq_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+    dq_out_specs = [pl.BlockSpec((1, 1, q_tile, d),
+                                 lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                                 memory_space=pltpu.VMEM)]
+    dq_out_shape = [jax.ShapeDtypeStruct((b, h, nq, d), q.dtype)]
+    if want_dfreqs:
+        dq_out_specs.append(dq_out_specs[0])
+        dq_out_shape.append(jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32))
 
     def dq_entry(*refs):
         n_in = len(common_inputs) + len(extra)
-        ins, out_ref, acc = refs[:n_in], refs[n_in], refs[n_in + 1]
-        dq_kernel(*ins, dq_ref=out_ref, acc_ref=acc)
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + len(dq_out_shape)]
+        acc = refs[n_in + len(dq_out_shape)]
+        dq_kernel(*ins, dq_ref=outs[0], acc_ref=acc,
+                  dqr_ref=outs[1] if want_dfreqs else None)
 
-    dq = pl.pallas_call(
+    dq_res = pl.pallas_call(
         dq_entry,
         grid=(b, h, nq // q_tile, nk // kv_tile),
         in_specs=q_major() + extra_specs_q,
-        out_specs=pl.BlockSpec((1, 1, q_tile, d),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        out_specs=dq_out_specs if want_dfreqs else dq_out_specs[0],
+        out_shape=dq_out_shape if want_dfreqs else dq_out_shape[0],
         scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
         interpret=interpret,
-    )(*common_inputs, *extra)[:, :, :n, :]
+    )(*common_inputs, *extra)
+    if want_dfreqs:
+        dq, dqr = dq_res
+    else:
+        dq, dqr = dq_res, None
+    dq = dq[:, :, :n, :]
 
     dkv_kernel = functools.partial(
         _stream_bwd_dkv_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+    dkv_out_specs = [
+        pl.BlockSpec((1, 1, kv_tile, d),
+                     lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d),
+                     lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dkv_out_shape = [jax.ShapeDtypeStruct((b, h, nk, d), q.dtype),
+                     jax.ShapeDtypeStruct((b, h, nk, d), q.dtype)]
+    if want_dfreqs:
+        dkv_out_specs.append(dkv_out_specs[0])
+        dkv_out_shape.append(jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32))
 
     def dkv_entry(*refs):
         n_in = len(common_inputs) + len(extra)
         ins = refs[:n_in]
-        dk_ref, dv_ref, dk_acc, dv_acc = refs[n_in:]
-        dkv_kernel(*ins, dk_ref=dk_ref, dv_ref=dv_ref, dk_acc=dk_acc,
-                   dv_acc=dv_acc)
+        outs = refs[n_in:n_in + len(dkv_out_shape)]
+        dk_acc, dv_acc = refs[n_in + len(dkv_out_shape):]
+        dkv_kernel(*ins, dk_ref=outs[0], dv_ref=outs[1], dk_acc=dk_acc,
+                   dv_acc=dv_acc, dkr_ref=outs[2] if want_dfreqs else None)
 
-    dk, dv = pl.pallas_call(
+    dkv_res = pl.pallas_call(
         dkv_entry,
         grid=(b, h, nk // kv_tile, nq // q_tile),
         in_specs=kv_major() + extra_specs_kv,
-        out_specs=[
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda bi, hi, ki, qi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, h, nk, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, nk, d), q.dtype)],
+        out_specs=dkv_out_specs,
+        out_shape=dkv_out_shape,
         scratch_shapes=[pltpu.VMEM((kv_tile, d), jnp.float32),
                         pltpu.VMEM((kv_tile, d), jnp.float32)],
         interpret=interpret,
     )(*common_inputs, *extra)
-    return dq, dk[:, :, :n, :], dv[:, :, :n, :]
+    if want_dfreqs:
+        dk, dv, dkr = dkv_res
+    else:
+        dk, dv = dkv_res
+        dkr = None
+
+    dbias = None
+    if want_dbias:
+        dbias_kernel = functools.partial(
+            _stream_bwd_dbias_kernel, scale=scale, n_valid=n,
+            kv_tile=kv_tile, has_bias=has_bias, has_rope=has_rope,
+            mm_dtype=mm_dtype)
+        # grid (h, q-tiles, kv-tiles, BATCH innermost).
+        db_common_specs = [
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda hi, qi, ki, bi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda hi, qi, ki, bi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+        ]
+        db_extra_specs = []
+        if has_bias:
+            db_extra_specs.append(pl.BlockSpec(
+                (1, q_tile, kv_tile), lambda hi, qi, ki, bi: (hi, qi, ki),
+                memory_space=pltpu.VMEM))
+        if has_rope:
+            qmap = lambda hi, qi, ki, bi: (hi, qi, 0)   # noqa: E731
+            kmap = lambda hi, qi, ki, bi: (hi, ki, 0)   # noqa: E731
+            db_extra_specs.extend([
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+            ])
+
+        def dbias_entry(*refs):
+            n_in = len(common_inputs) + len(extra)
+            ins, out_ref, acc = refs[:n_in], refs[n_in], refs[n_in + 1]
+            dbias_kernel(*ins, dbias_ref=out_ref, acc_ref=acc)
+
+        dbias = pl.pallas_call(
+            dbias_entry,
+            grid=(h, nq // q_tile, nk // kv_tile, b),
+            in_specs=db_common_specs + db_extra_specs,
+            out_specs=pl.BlockSpec((1, q_tile, kv_tile),
+                                   lambda hi, qi, ki, bi: (hi, qi, ki),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, nq, nk), bias.dtype),
+            scratch_shapes=[pltpu.VMEM((q_tile, kv_tile), jnp.float32)],
+            interpret=interpret,
+        )(*common_inputs, *extra)[:, :n, :n]
+
+    dfreqs = None
+    if want_dfreqs:
+        dfreqs = _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis)
+    return dq, dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs
+
+
+def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
+    """(dcos, dsin) for learnable per-head frequencies from rotated-space
+    gradients. With r = [x1·cos − x2·sin, x1·sin + x2·cos] and g = ∂L/∂r:
+      ∂L/∂cos = g1·x1 + g2·x2,   ∂L/∂sin = −g1·x2 + g2·x1,
+    summed over batch, for both the q and k sides. Elementwise over
+    [B, H, N, D] — no attention-matrix materialization. Rows are then
+    sliced back to the caller's patch-token layout (identity cls row and
+    padding rows carry no learnable dependence)."""
+    def side(x, gr):
+        d2 = x.shape[-1] // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        g1, g2 = gr[..., :d2].astype(jnp.float32), gr[..., d2:].astype(jnp.float32)
+        dcos = jnp.sum(g1 * x1 + g2 * x2, axis=0)    # [H, Np, D/2]
+        dsin = jnp.sum(-g1 * x2 + g2 * x1, axis=0)
+        return dcos, dsin
+
+    dcos_q, dsin_q = side(qp.astype(jnp.float32), dqr)
+    dcos_k, dsin_k = side(kp.astype(jnp.float32), dkr)
+    s = freqs_cis[0].shape[-2]  # patch-token rows in the caller's layout
+    dcos = dcos_q[:, 1:1 + s] + dcos_k[:, 1:1 + s]
+    dsin = dsin_q[:, 1:1 + s] + dsin_k[:, 1:1 + s]
+    if freqs_cis[0].ndim == 2:  # shared across heads (axial layout)
+        dcos, dsin = dcos.sum(0), dsin.sum(0)
+    return (dcos.astype(freqs_cis[0].dtype), dsin.astype(freqs_cis[1].dtype))
 
 
 def _bwd(scale, residuals, g):
     q, k, v, bias, freqs_cis, out = residuals
     n = q.shape[2]
-    # Streaming backward when the O(N²) recompute would hurt and no gradient
-    # is needed for a bias tensor or learnable (per-head) frequencies.
-    fixed_freqs = freqs_cis is None or freqs_cis[0].ndim == 2
-    if n > STREAMING_THRESHOLD and bias is None and fixed_freqs:
-        dq, dk, dv = _bwd_streaming(
+    if n > STREAMING_THRESHOLD:
+        # Tiled streaming backward for EVERY PE regime: dbias accumulates
+        # over batch in-kernel; learnable rope-mixed frequencies get their
+        # (dcos, dsin) from the rotated-space gradients. Nothing [Nq, Nk]
+        # materializes beyond the bias-shaped tensors the caller already
+        # holds.
+        learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
+        dq, dk, dv, dbias, dfreqs = _bwd_streaming(
             scale, q, k, v, bias, freqs_cis, out, g,
-            interpret=jax.default_backend() != "tpu")
-        dfreqs = None
-        if freqs_cis is not None:
+            interpret=jax.default_backend() != "tpu",
+            want_dbias=bias is not None, want_dfreqs=learnable_freqs)
+        if freqs_cis is not None and dfreqs is None:
             # Fixed axial frequencies carry no learnable dependence; a zero
             # cotangent is exact (and is dropped upstream).
             dfreqs = (jnp.zeros_like(freqs_cis[0]),
                       jnp.zeros_like(freqs_cis[1]))
-        return dq, dk, dv, None, dfreqs
+        return dq, dk, dv, dbias, dfreqs
 
     def oracle(q, k, v, bias, freqs_cis):
         return reference_attention.attention(
