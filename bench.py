@@ -32,6 +32,25 @@ import numpy as np  # noqa: E402
 BATCH = 128
 STEPS = 40
 WARMUP = 3
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak (MFU denominator)
+
+
+def train_step_flops(cfg, batch: int) -> float:
+    """Analytic matmul FLOPs for one training step (fwd + bwd + update ≈
+    3× forward: backward costs ~2 forward matmul passes; the optimizer is
+    bandwidth-bound and not counted). Standard 2·M·N·K per matmul."""
+    e, n = cfg.embed_dim, cfg.seq_len
+    h, dh, hid = cfg.num_heads, cfg.head_dim, cfg.mlp_hidden_dim
+    fwd = 2 * cfg.num_patches * (cfg.in_chans * cfg.patch_size ** 2) * e
+    per_block = (
+        2 * n * e * (3 * e)          # qkv projection
+        + 2 * (2 * h * n * n * dh)   # q·kᵀ and p·v
+        + 2 * n * e * e              # output projection
+        + 2 * (2 * n * e * hid)      # mlp fc1 + fc2
+    )
+    fwd += cfg.depth * per_block
+    fwd += 2 * e * cfg.num_classes
+    return 3.0 * batch * fwd
 
 
 def measure(pos_encoding="rope-axial", attention_impl="auto",
@@ -94,7 +113,17 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     m.block_until_ready()
     dt = time.perf_counter() - t0
     assert measured > 0 and np.isfinite(np.asarray(m)).all(), "bad metrics"
-    return batch * measured / dt
+    ips = batch * measured / dt
+    flops_per_step = train_step_flops(cfg, batch)
+    tflops = flops_per_step * (measured / dt) / 1e12  # steps/sec × FLOPs/step
+    return dict(images_per_sec=ips,
+                step_ms=1e3 * dt / measured,
+                tflops_per_sec=tflops,
+                mfu=tflops / PEAK_BF16_TFLOPS)
+
+
+STRETCH_KW = dict(pos_encoding="rope-mixed", img_size=224, patch_size=16,
+                  embed_dim=384, depth=12, steps=20, batch=64)
 
 
 def main():
@@ -105,25 +134,47 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)["pytorch_cpu_images_per_sec"]
 
+    if "--matrix" in sys.argv:
+        # Utilization matrix: dtype × remat × config. Writes
+        # docs/bench_matrix.json and prints one row per line (NOT the
+        # driver's one-line contract — use plain `python bench.py` for that).
+        rows = []
+        for name, kw in (("headline", {}), ("stretch", STRETCH_KW)):
+            for dtype in ("float32", "bfloat16"):
+                for remat in ((False, True) if name == "stretch"
+                              else (False,)):
+                    r = measure(compute_dtype=dtype, remat=remat, **kw)
+                    row = dict(config=name, compute_dtype=dtype, remat=remat,
+                               **{k_: round(v, 4) for k_, v in r.items()})
+                    rows.append(row)
+                    print(json.dumps(row))
+        with open(os.path.join(here, "docs", "bench_matrix.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        return
+
     if "--stretch" in sys.argv:
         # BASELINE.json config 5: ViT-S/16 @ 224px (197 tokens), rope-mixed.
-        ips = measure(pos_encoding="rope-mixed", img_size=224, patch_size=16,
-                      embed_dim=384, depth=12, steps=20, batch=64)
+        r = measure(**STRETCH_KW)
         result = {
             "metric": "ViT-S/16 @224 rope-mixed images/sec/chip "
                       "(train fwd+bwd+update, bs64)",
-            "value": round(ips, 1),
+            "value": round(r["images_per_sec"], 1),
             "unit": "images/sec/chip",
             "vs_baseline": None,
+            "tflops_per_sec": round(r["tflops_per_sec"], 2),
+            "mfu": round(r["mfu"], 4),
         }
     else:
-        ips = measure()
+        r = measure()
+        ips = r["images_per_sec"]
         result = {
             "metric": "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
                       "(train fwd+bwd+update, bs128)",
             "value": round(ips, 1),
             "unit": "images/sec/chip",
             "vs_baseline": round(ips / baseline, 1) if baseline else None,
+            "tflops_per_sec": round(r["tflops_per_sec"], 2),
+            "mfu": round(r["mfu"], 4),
         }
     print(json.dumps(result))
 

@@ -198,3 +198,22 @@ def test_introspect_wrong_method_helpful_error(tmp_path):
     path, _ = _save_ckpt(tmp_path, "rope-axial")
     with pytest.raises(ValueError, match="looks like \\['rope-axial'\\]"):
         introspect.load_pe_model(path, "rope-mixed")
+
+
+def test_pe_similarity_comparison_skips_bad_model(tmp_path, capsys):
+    """Multi-model comparison warns and SKIPS a checkpoint that fails to
+    load instead of aborting (reference behavior,
+    /root/reference/pe_similarity_visualizer.py:557-572)."""
+    from vit_rpe_rope_tpu.cli import pe_similarity_visualizer as cli
+
+    good, _ = _save_ckpt(tmp_path, "relative")
+    bad, _ = _save_ckpt(tmp_path, "rope-axial",
+                        fname="cifar10_rope-axial_best.npz")
+    # Deliberate mismatch: claim the rope-axial checkpoint is 'polynomial'.
+    cli.main(["--compare_models", "--model_paths", good, bad,
+              "--model_configs", "relative", "polynomial",
+              "--dpi", "50", "--output_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Skipping polynomial." in out
+    assert any(p.startswith("pe_similarity_comparison")
+               for p in os.listdir(tmp_path))

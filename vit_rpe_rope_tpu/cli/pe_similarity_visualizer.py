@@ -161,15 +161,36 @@ def visualize_comparison(models, names, args):
     return _save(fig, args, "comparison")
 
 
+def _load_models_tolerant(pairs, args):
+    """Load (path, method) checkpoints for comparison, warning and SKIPPING
+    any that fail to load or shape-check — the reference's multi-model
+    behavior (/root/reference/pe_similarity_visualizer.py:557-572 warns and
+    skips on mismatch instead of aborting the whole comparison)."""
+    models, names = [], []
+    for path, method in pairs:
+        try:
+            models.append(introspect.load_pe_model(
+                path, method, args.grid_size, args.num_heads,
+                args.rope_theta))
+            names.append(method)
+        except Exception as e:  # noqa: BLE001 — tool-level resilience
+            print(f"Warning: could not load {path} as '{method}': {e}")
+            print(f"Skipping {method}.")
+    return models, names
+
+
 def main(argv=None):
     args = get_args(argv)
 
     if args.compare_models and args.model_paths:
         configs = args.model_configs or [args.model_config] * len(args.model_paths)
-        models = [introspect.load_pe_model(p, c, args.grid_size,
-                                           args.num_heads, args.rope_theta)
-                  for p, c in zip(args.model_paths, configs)]
-        names = args.model_names or configs
+        models, loaded = _load_models_tolerant(
+            list(zip(args.model_paths, configs)), args)
+        if not models:
+            raise SystemExit("No models could be loaded for comparison.")
+        names = args.model_names if (
+            args.model_names and len(args.model_names) == len(models)
+        ) else loaded
         return visualize_comparison(models, names, args)
 
     if args.load_model and args.model_path:
@@ -187,10 +208,12 @@ def main(argv=None):
     found = introspect.discover_checkpoints("checkpoints", args.methods)
     if found:
         print(f"Auto-discovered checkpoints: {sorted(found)}")
-        models = [introspect.load_pe_model(p, m, args.grid_size,
-                                           args.num_heads, args.rope_theta)
-                  for m, p in found.items()]
-        return visualize_comparison(models, list(found), args)
+        models, names = _load_models_tolerant(
+            [(p, m) for m, p in found.items()], args)
+        if models:
+            return visualize_comparison(models, names, args)
+        print("No discovered checkpoint could be loaded; falling back to "
+              "random-init visualization.")
 
     # No checkpoints: visualize randomly-initialized encodings per method.
     for method in args.methods:
