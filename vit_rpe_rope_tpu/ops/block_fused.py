@@ -4,15 +4,17 @@ Computes an ENTIRE pre-LN block — LN1 → qkv → (rotary) → attention → p
 residual → LN2 → fc1 → GELU → fc2 → residual — for a batch tile with every
 intermediate resident in VMEM: activations touch HBM once in, once out.
 
-Measured v5e-1 (bs128, ViT-tiny shapes, chained-scan timing): ~1.63 ms per
-6-block forward vs ~1.45-1.48 ms for the XLA path — the fused kernel is ~10%
-slower, with per-head-loop and head-BATCHED attention variants measuring the
-same. Both paths sit at ~27-30 TFLOP/s effective: the wall is small-shape
-MXU utilization (65-token, 192-wide matmuls), which fusing HBM round trips
-does not move. These measurements also corrected the perf model — an earlier
-0.47 ms "forward" reading was loop-invariant code hoisted out of a timing
-scan. Kept as groundwork + documentation of the measured dead end
-(ROADMAP.md): at this model size the XLA path is the right default.
+Measured v5e-1 (bs128, ViT-tiny shapes, chained-scan timing; re-confirmed
+round 2 via scripts/bench_block_fused.py): ~1.61 ms per 6-block forward vs
+~1.45 ms for the XLA path — the fused kernel is ~11% slower, with
+per-head-loop and head-BATCHED attention variants measuring the same, and
+batch_tile=16 exceeding VMEM. Roofline (ROADMAP.md "Round-2 verdict"): the
+forward's arithmetic intensity (≤21 FLOP/byte) is an order of magnitude
+below the v5e ridge (~240), so the ceiling is HBM streaming, and the
+VMEM-resident kernel still loses because Mosaic's lane-sliced per-head
+relayouts + small-M per-program matmuls cost more than the saved traffic.
+Kept as groundwork + documentation of the measured dead end: at this model
+size the XLA path is the right default.
 
 Scope (prototype): rope-axial / plain PE (cos/sin with the identity cls row,
 as in flash_attention), no logits bias, fp32 params with bf16 MXU multiplies.
