@@ -187,3 +187,56 @@ def test_tp_dropout_replicated_across_model_axis():
     np.testing.assert_allclose(np.asarray(out), np.asarray(synced),
                                rtol=1e-6, atol=1e-6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tp_multi_step_matches_per_step():
+    """k-fused TP dispatch (lax.scan inside shard_map) reproduces the
+    per-step TP trajectory, including the guarded padded step."""
+    cfg = small_cfg("relative")
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=20, n_test=8, seed=4)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.05)
+    mesh = tp_mesh(model=2, data=2)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    # 20 examples / bs 8 -> 3 steps (last partial); pad to k=2 multiple -> 4.
+    ei = ts.epoch_indices(jax.random.PRNGKey(5), 20, 8, True)
+
+    def init():
+        p0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+        tp_p, specs = place_tp(mesh, p0, cfg)
+        o0 = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, tx.init(tp_p)),
+            jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                ts.opt_specs_like(tx.init(tp_p), specs),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
+        return tp_p, o0
+
+    # per-step driver
+    p1, o1 = init()
+    fn1 = ts.make_tp_train_step(cfg, tcfg, mesh, tx, pre)
+    ei1 = jax.device_put(ei, idx_sh)
+    for s in range(3):
+        p1, o1, m = fn1(p1, o1, jnp.asarray([s], jnp.int32), dx, dy, ei1)
+        m.block_until_ready()
+
+    # k=2 fused driver over the padded schedule
+    p2, o2 = init()
+    fn2 = ts.make_tp_train_step(cfg, tcfg, mesh, tx, pre, k=2,
+                                guard_padded_steps=True)
+    ei2 = jax.device_put(ts.pad_epoch_indices(ei, 2), idx_sh)
+    for s in (0, 2):
+        p2, o2, m = fn2(p2, o2, jnp.asarray([s], jnp.int32), dx, dy, ei2)
+        m.block_until_ready()
+    m = np.asarray(m)
+    assert m[-1, 2] == 0  # padded no-op step reported count 0
+
+    g1 = jax.device_get(p1)
+    g2 = jax.device_get(p2)
+    for kk in g1:
+        np.testing.assert_allclose(np.asarray(g2[kk]), np.asarray(g1[kk]),
+                                   rtol=1e-5, atol=1e-6, err_msg=kk)

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] write a jax.profiler trace here")
     ext.add_argument("--debug_nans", action="store_true",
                      help="[extension] enable jax_debug_nans")
+    ext.add_argument("--steps_per_dispatch", type=int, default=0,
+                     help="[extension] train steps fused into one dispatch "
+                          "via lax.scan (0 = auto: a divisor of "
+                          "steps-per-epoch ≤32 on TPU, 1 on CPU)")
     ext.add_argument("--model_parallel", type=int, default=1,
                      help="[extension] tensor-parallel degree: shard attention"
                           " heads and the MLP hidden dim over the mesh's"
@@ -146,6 +150,7 @@ def main(argv=None):
         resume=args.resume,
         augment=args.augment,
         model_parallel=args.model_parallel,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

@@ -156,11 +156,14 @@ def patch_embed(params, images, cfg: ViTConfig):
 def _attention_impl(cfg: ViTConfig) -> str:
     impl = cfg.attention_impl
     if impl == "auto":
-        # Measured on v5e-1 (2026-08): at the reference's shapes (N=65/197,
-        # head_dim 32/64) XLA's fused unfused-attention beats the Pallas
-        # kernel (e.g. ~0.49 ms vs ~0.76 ms fwd at N=65, bs128) — per-program
-        # overheads dominate at tiny N. "auto" therefore picks the XLA path;
-        # opt into the Pallas kernel with attention_impl="flash".
+        # Measured on v5e-1 (2026-08, r1+r2): at the reference's shapes XLA's
+        # fused unfused-attention beats the Pallas kernel — at N=65 per-
+        # program overheads dominate, and at N=197 (ViT-S @224 bf16 train
+        # step: 2,013 vs 1,409 img/s) the custom-VJP recompute backward loses
+        # to XLA's fused backward. "auto" therefore picks the XLA path; the
+        # Pallas kernel owns the N>2048 streaming regime (fwd+bwd, all PE
+        # modes) and is opt-in via attention_impl="flash". Full analysis:
+        # ROADMAP.md "Round-2 verdict on the small-shape kernel fight".
         impl = "reference"
     return impl
 

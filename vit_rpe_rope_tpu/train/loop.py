@@ -132,13 +132,12 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         k = (ts.pick_steps_per_dispatch(steps_per_epoch)
              if jax.default_backend() == "tpu" else 1)
     k = max(1, min(k, steps_per_epoch))
-    if use_tp:
-        k = 1  # the TP step is a per-step driver
     # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
     # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
     # kernels collapse to a handful); the reference-keyed dict stays the
-    # interface for eval/checkpoints.
-    use_flat = k > 1
+    # interface for eval/checkpoints. TP keeps dict params (its shardings are
+    # per-key) but still fuses k steps per dispatch via lax.scan.
+    use_flat = k > 1 and not use_tp
     flattener = Flattener(vit.stack_block_params(params, cfg))
     flatten_j = jax.jit(
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
@@ -189,7 +188,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                   f"(best {best_acc:.2f}%)")
 
     if use_tp:
-        train_fn = ts.make_tp_train_step(cfg, tcfg, mesh, tx, preprocess)
+        train_fn = ts.make_tp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
     elif use_flat:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,

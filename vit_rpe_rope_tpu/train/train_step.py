@@ -335,11 +335,16 @@ def opt_specs_like(opt_state, param_specs):
 
 
 def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
-                       preprocess):
+                       preprocess, k: int = 1,
+                       guard_padded_steps: bool = True):
     """Data-parallel + tensor-parallel training step over the full
     ('data', 'model') mesh. Params must be TP-prepared
     (tensor_parallel.prepare_tp_params) and placed with tp_param_specs
     shardings; the optimizer state mirrors them (opt_specs_like).
+
+    k > 1 fuses k steps into one dispatch via lax.scan (same contract as
+    make_train_multi_step: epoch_idx padded to a multiple of k; fully-padded
+    steps are guarded no-ops when guard_padded_steps).
 
     Gradient synchronization:
       * all grads psum over 'data' (standard DP);
@@ -358,35 +363,58 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     needs_model_sync = (pe_mod.KIND == PE_KIND_LOGITS_BIAS
                         or cfg.pos_encoding == "rope-mixed")
     pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
+    guard = guard_padded_steps and k > 1
 
-    def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+    def one_step(params, opt_state, step, data_x, data_y, epoch_idx):
         idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step[0], axis=0, keepdims=False)
+            epoch_idx, step, axis=0, keepdims=False)
         imgs, labels, mask = _gather_batch(data_x, data_y, idx)
         count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
         # Augment/dropout key: per (step, data shard), IDENTICAL across the
         # model axis (activations/masks there must stay replicated).
         key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step[0]),
+            jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step),
             jax.lax.axis_index(DATA_AXIS))
 
         def loss_fn(p):
             loss_sum, correct = _loss_and_metrics(
                 p, imgs, labels, mask, cfg, preprocess, apply_fn=tp.apply_tp,
                 key=key)
-            return loss_sum / count, correct
+            return loss_sum / safe_count, correct
 
         (local_loss, correct), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         grads = jax.lax.psum(grads, DATA_AXIS)
         if needs_model_sync:
-            for key in pe_keys:
-                grads[key] = jax.lax.psum(grads[key], MODEL_AXIS)
+            for pk in pe_keys:
+                grads[pk] = jax.lax.psum(grads[pk], MODEL_AXIS)
         loss = jax.lax.psum(local_loss, DATA_AXIS)
         correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, jnp.stack([loss, correct, count])
+        updates, o_new = tx.update(grads, opt_state, params)
+        p_new = optax.apply_updates(params, updates)
+        if guard:
+            live = count > 0
+            p_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), p_new, params)
+            o_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
+        return p_new, o_new, jnp.stack([loss, correct, count])
+
+    if k == 1:
+        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+            return one_step(params, opt_state, step[0], data_x, data_y,
+                            epoch_idx)
+    else:
+        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
+            def body(carry, step):
+                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx)
+                return (p, o), m
+
+            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), steps)
+            return params, opt_state, metrics
 
     # Build spec pytrees from a throwaway init (structure only).
     proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
