@@ -431,12 +431,12 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = s + bias_ref[0].astype(jnp.float32)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [Tq, Tkv]
+    p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
     gv = jax.lax.dot_general(  # g·vᵀ  [Tq, Tkv]
         g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (gv - delta_ref[0, 0][:, None])
+    ds = p * (gv - delta_ref[0, 0])
     acc_ref[...] += scale * jax.lax.dot_general(
         ds.astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -490,7 +490,7 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = s + bias_ref[0].astype(jnp.float32)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [Tq, Tkv]
+    p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
     g = g_ref[0, 0].astype(jnp.float32)
     dv_acc[...] += jax.lax.dot_general(  # pᵀ g  [Tkv, D]
         p.astype(mm_dtype), g.astype(mm_dtype),
@@ -500,7 +500,7 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         g.astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (gv - delta_ref[0, 0][:, None])
+    ds = p * (gv - delta_ref[0, 0])
     dk_acc[...] += scale * jax.lax.dot_general(  # dsᵀ q  [Tkv, D]
         ds.astype(mm_dtype), q.astype(mm_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -557,12 +557,12 @@ def _stream_bwd_dbias_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = s + bias_ref[0].astype(jnp.float32)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    p = jnp.exp(s - lse_ref[0, 0])
     gv = jax.lax.dot_general(
         g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (gv - delta_ref[0, 0][:, None])
+    ds = p * (gv - delta_ref[0, 0])
     acc_ref[...] += ds
 
     @pl.when(bi == n_b - 1)
@@ -609,8 +609,13 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     nk = _round_up(n, kv_tile)
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
     gp = _pad_seq(g, nq, 2)
-    lse_p = _pad_seq(lse, nq, 2)
-    delta_p = _pad_seq(delta, nq, 2)
+    # Trailing singleton dim: Mosaic requires the last two BLOCK dims to be
+    # (8k, 128k) or equal to the array dims — a [B, H, nq] array with block
+    # (1, 1, q_tile) violates that (dim -2 is 1 != H); [B, H, nq, 1] with
+    # block (1, 1, q_tile, 1) is legal. (Interpret mode does not check this;
+    # caught by the first real-TPU compile.)
+    lse_p = _pad_seq(lse, nq, 2)[..., None]
+    delta_p = _pad_seq(delta, nq, 2)[..., None]
 
     common_inputs = [qp, kp, vp, gp, lse_p, delta_p]
     has_bias = bias is not None
@@ -661,9 +666,11 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             pl.BlockSpec((1, 1, q_tile, d),
                          lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, qi, ki: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, qi, ki: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -681,9 +688,11 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             pl.BlockSpec((1, 1, q_tile, d),
                          lambda bi, hi, ki, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, ki, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda bi, hi, ki, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda bi, hi, ki, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda bi, hi, ki, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -782,9 +791,11 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             pl.BlockSpec((1, 1, q_tile, d),
                          lambda hi, qi, ki, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda hi, qi, ki, bi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda hi, qi, ki, bi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ]
         db_extra_specs = []
