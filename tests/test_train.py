@@ -454,3 +454,64 @@ def test_dispatch_helpers():
     assert int((padded[4:] == -1).all())
     np.testing.assert_array_equal(np.asarray(ts.pad_epoch_indices(ei, 4)),
                                   np.asarray(ei))  # already a multiple
+
+
+def test_zero1_matches_replicated_optimizer():
+    """ZeRO-1 (optimizer moments sharded over 'data', params all_gathered
+    after the update) must reproduce the replicated flat driver's trajectory
+    elementwise."""
+    import optax
+
+    from vit_rpe_rope_tpu.utils.flatten import Flattener
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=32, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=64, n_test=8, seed=5)
+    mesh = make_mesh(batch_size=32, num_devices=8)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = ts.make_optimizer(tcfg, 2)
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    ei = jax.device_put(
+        ts.epoch_indices(jax.random.PRNGKey(3), 64, 32, True), idx_sh)
+
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    flattener = Flattener(vit.stack_block_params(params, cfg))
+    flat0 = jax.device_put(
+        jax.jit(lambda p: flattener.flatten(vit.stack_block_params(p, cfg))
+                )(params), rep)
+
+    def run(zero1):
+        flat = jax.device_put(jnp.array(flat0), rep)  # fresh: fn donates it
+        if zero1:
+            opt, _ = ts.init_zero1_opt_state(tx, flattener, mesh)
+        else:
+            opt = jax.device_put(tx.init(flat), rep)
+        fn = ts.make_flat_train_multi_step(
+            cfg, tcfg, mesh, tx, pre, 2, flattener,
+            apply_fn=vit.apply_stacked, guard_padded_steps=False,
+            zero1=zero1)
+        p, o, m = fn(flat, opt, jnp.asarray([0], jnp.int32), dx, dy, ei)
+        m.block_until_ready()
+        return jax.device_get(p), np.asarray(m)
+
+    p_ref, m_ref = run(zero1=False)
+    p_z, m_z = run(zero1=True)
+    np.testing.assert_allclose(m_z, m_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_z), np.asarray(p_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fit_with_zero1(tmp_path):
+    """--zero1 end to end through fit(): trains, checkpoints, resumes."""
+    cfg = small_cfg(pos_encoding="absolute")
+    common = dict(dataset="mnist", batch_size=64, synthetic_data=True,
+                  log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "c"),
+                  seed=0, zero1=True)
+    s1 = fit(cfg, TrainConfig(epochs=1, **common), verbose=False)
+    assert s1["best_acc"] > 30.0
+    assert os.path.exists(tmp_path / "c" / "mnist_absolute_best.npz")
+    s2 = fit(cfg, TrainConfig(epochs=2, resume=True, **common), verbose=False)
+    assert len(s2["history"]) == 1 and s2["history"][0]["epoch"] == 2

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                           " heads and the MLP hidden dim over the mesh's"
                           " 'model' axis (must divide num_heads; 1 = pure"
                           " data parallelism)")
+    ext.add_argument("--zero1", action="store_true",
+                     help="[extension] ZeRO stage 1: shard the Adam moments "
+                          "over the data axis (1/n_data optimizer memory per "
+                          "chip; params ride one tiled all_gather over ICI)")
     ext.add_argument("--drop_rate", type=float, default=0.0,
                      help="[extension] dropout after attn-proj and MLP"
                           " linears (the reference constructor accepts this"
@@ -151,6 +155,7 @@ def main(argv=None):
         augment=args.augment,
         model_parallel=args.model_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
+        zero1=args.zero1,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

@@ -148,6 +148,11 @@ class TrainConfig:
     # Tensor parallelism degree: shard attention heads / MLP hidden over the
     # mesh's 'model' axis (parallel/tensor_parallel.py). 1 = pure DP.
     model_parallel: int = 1
+    # ZeRO stage 1: shard the optimizer moments over the data axis (each
+    # chip keeps 1/n_data of the Adam state; updated params ride one tiled
+    # all_gather over ICI). Elementwise-identical trajectory. Requires the
+    # flat driver; incompatible with model_parallel > 1.
+    zero1: bool = False
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -155,6 +160,11 @@ class TrainConfig:
         if self.model_parallel < 1:
             raise ValueError(
                 f"model_parallel must be >= 1; got {self.model_parallel}")
+        if self.zero1 and self.model_parallel > 1:
+            raise ValueError(
+                "zero1 shards the flat-vector optimizer over the data axis "
+                "and is incompatible with model_parallel > 1 (TP keeps dict "
+                "params)")
 
     @property
     def in_chans(self) -> int:

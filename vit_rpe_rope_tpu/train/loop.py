@@ -136,8 +136,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
     # kernels collapse to a handful); the reference-keyed dict stays the
     # interface for eval/checkpoints. TP keeps dict params (its shardings are
-    # per-key) but still fuses k steps per dispatch via lax.scan.
-    use_flat = k > 1 and not use_tp
+    # per-key) but still fuses k steps per dispatch via lax.scan. ZeRO-1
+    # rides the flat driver (it shards the flat moment vectors).
+    use_flat = (k > 1 or tcfg.zero1) and not use_tp
+    zero1 = tcfg.zero1 and use_flat
+    zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
     flatten_j = jax.jit(
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
@@ -159,7 +162,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         opt_state = jax.jit(tx.init)(train_params)  # inherits TP shardings
     elif use_flat:
         train_params = jax.device_put(flatten_j(params), replicated)
-        opt_state = jax.device_put(tx.init(train_params), replicated)
+        if zero1:
+            opt_state, zero1_specs = ts.init_zero1_opt_state(
+                tx, flattener, mesh)
+            zero1_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), zero1_specs,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        else:
+            opt_state = jax.device_put(tx.init(train_params), replicated)
     else:
         train_params = params
         opt_state = jax.device_put(tx.init(train_params), replicated)
@@ -182,7 +192,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                                 out_shardings=opt_shardings)(opt_state)
         else:
             train_params = flatten_j(params) if use_flat else params
-            opt_state = jax.device_put(opt_state, replicated)
+            opt_state = jax.device_put(
+                opt_state,
+                zero1_shardings if zero1 else replicated)
         if verbose:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
@@ -195,7 +207,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
             apply_fn=vit.apply_stacked,
-            guard_padded_steps=(steps_per_epoch % k != 0))
+            guard_padded_steps=(steps_per_epoch % k != 0),
+            zero1=zero1)
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
     eval_steps = -(-len(bundle.test_y) // tcfg.batch_size)

@@ -118,13 +118,17 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
 
 
 def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
-             apply_fn, guard, seed=0):
+             apply_fn, guard, seed=0, update_fn=None):
     """One data-parallel optimizer step (runs inside shard_map). Shared by
     the per-step, fused-multi-step, and flat-vector drivers.
 
     guard=True freezes params AND optimizer state on fully-padded steps
     (count == 0, only possible when the epoch was padded to a dispatch
     multiple), keeping fused trajectories identical to per-step ones.
+
+    update_fn(grads, opt_state, params) -> (new_params, new_opt_state)
+    overrides the plain tx.update/apply_updates pair (ZeRO-1 sharded
+    optimizer).
     """
     idx = jax.lax.dynamic_index_in_dim(epoch_idx, step, axis=0,
                                        keepdims=False)  # [local_bs]
@@ -151,8 +155,11 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     grads = jax.lax.psum(grads, DATA_AXIS)  # ICI all-reduce
     loss = jax.lax.psum(local_loss, DATA_AXIS)
     correct = jax.lax.psum(correct, DATA_AXIS)
-    updates, o_new = tx.update(grads, o, p)
-    p_new = optax.apply_updates(p, updates)
+    if update_fn is not None:
+        p_new, o_new = update_fn(grads, o, p)
+    else:
+        updates, o_new = tx.update(grads, o, p)
+        p_new = optax.apply_updates(p, updates)
     if guard:
         live = count > 0
         p_new = jax.tree_util.tree_map(
@@ -162,11 +169,15 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     return p_new, o_new, jnp.stack([loss, correct, count])
 
 
-def _shard_train_fn(local_fn, mesh):
+def _shard_train_fn(local_fn, mesh, opt_spec=None):
+    """opt_spec: spec (or spec pytree) for the optimizer state — P() for the
+    replicated drivers, a data-axis-sharded tree under ZeRO-1."""
+    if opt_spec is None:
+        opt_spec = P()
     sharded = shard_map(
         local_fn, mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), opt_spec, P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), opt_spec, P()),
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
 
@@ -229,28 +240,86 @@ def pick_steps_per_dispatch(steps_per_epoch: int, cap: int = 32) -> int:
     return best
 
 
+def zero1_shard_size(total: int, n_data: int) -> int:
+    """Per-shard length of the padded flat vector under ZeRO-1."""
+    return -(-total // n_data)
+
+
+def _pad_vec(vec, n: int):
+    pad = n - vec.shape[0]
+    if pad == 0:
+        return vec
+    return jnp.concatenate([vec, jnp.zeros((pad,), vec.dtype)])
+
+
+def init_zero1_opt_state(tx, flattener, mesh):
+    """Optimizer state for ZeRO-1: moments exist only for THIS shard's slice
+    of the (padded) flat parameter vector. Returns (opt_state, opt_specs)
+    where opt_state is placed sharded over the data axis and opt_specs is
+    the matching shard_map spec pytree (scalars like the Adam step count
+    stay replicated)."""
+    n_data = mesh.shape[DATA_AXIS]
+    padded = zero1_shard_size(flattener.total, n_data) * n_data
+    proto = tx.init(jnp.zeros((padded,), jnp.float32))
+    specs = jax.tree_util.tree_map(
+        lambda leaf: P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P(),
+        proto)
+    from vit_rpe_rope_tpu.parallel.mesh import NamedSharding
+
+    placed = jax.device_put(
+        proto,
+        jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
+    return placed, specs
+
+
 def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                preprocess, k: int, flattener, apply_fn=None,
-                               guard_padded_steps: bool = True):
+                               guard_padded_steps: bool = True,
+                               zero1: bool = False):
     """make_train_multi_step on a FLAT parameter vector: the model unflattens
     inside the loss, gradients come back as one contiguous array, and the
     optimizer runs as a few large fused elementwise ops instead of hundreds
     of per-leaf kernels. Pair with vit.apply_stacked (depth-stacked params,
     lax.scan over blocks) so the unflatten/reflatten in fwd/bwd also stays at
     ~25 leaves. Mathematically identical to the dict driver (AdamW is
-    elementwise; scan order matches the unrolled loop)."""
+    elementwise; scan order matches the unrolled loop).
+
+    zero1=True shards the OPTIMIZER STATE over the data axis (ZeRO stage 1,
+    TPU-native): each shard holds moments for 1/n_data of the padded flat
+    vector, updates its slice, and the new params ride one tiled all_gather
+    over ICI back to replicated. Elementwise-identical to the replicated
+    optimizer; memory for Adam moments drops from 2P per chip to 2P/n_data.
+    Pass the opt state from init_zero1_opt_state."""
 
     base_apply = apply_fn or vit.apply
 
     def flat_apply(pf, imgs, cfg_, rng=None):
         return base_apply(flattener.unflatten(pf), imgs, cfg_, rng)
 
+    n_data = mesh.shape[DATA_AXIS]
+    shard = zero1_shard_size(flattener.total, n_data)
+    padded = shard * n_data
+
+    def zero1_update(grads, o, p):
+        my = jax.lax.axis_index(DATA_AXIS)
+        g_sh = jax.lax.dynamic_slice_in_dim(
+            _pad_vec(grads, padded), my * shard, shard)
+        p_sh = jax.lax.dynamic_slice_in_dim(
+            _pad_vec(p, padded), my * shard, shard)
+        updates, o_new = tx.update(g_sh, o, p_sh)
+        p_sh = optax.apply_updates(p_sh, updates)
+        p_full = jax.lax.all_gather(p_sh, DATA_AXIS, tiled=True)
+        return p_full[:flattener.total], o_new
+
     def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
         def body(carry, step):
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
                                apply_fn=flat_apply,
-                               guard=guard_padded_steps, seed=tcfg.seed)
+                               guard=guard_padded_steps, seed=tcfg.seed,
+                               update_fn=zero1_update if zero1 else None)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
@@ -258,7 +327,13 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             body, (flat, opt_state), steps)
         return flat, opt_state, metrics
 
-    return _shard_train_fn(local_multi, mesh)
+    opt_spec = P()
+    if zero1:
+        opt_spec = jax.tree_util.tree_map(
+            lambda leaf: P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1
+            else P(),
+            tx.init(jnp.zeros((padded,), jnp.float32)))
+    return _shard_train_fn(local_multi, mesh, opt_spec=opt_spec)
 
 
 def make_fused_adamw_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh,
