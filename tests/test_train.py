@@ -515,3 +515,21 @@ def test_fit_with_zero1(tmp_path):
     assert os.path.exists(tmp_path / "c" / "mnist_absolute_best.npz")
     s2 = fit(cfg, TrainConfig(epochs=2, resume=True, **common), verbose=False)
     assert len(s2["history"]) == 1 and s2["history"][0]["epoch"] == 2
+
+
+def test_resume_across_drivers(tmp_path):
+    """The on-disk optimizer state is canonical (flat-vector moments), so a
+    run can be resumed under a different driver: here a ZeRO-1 flat-driver
+    run is resumed by the plain per-step dict driver and vice versa."""
+    cfg = small_cfg(pos_encoding="absolute")
+    common = dict(dataset="mnist", batch_size=64, synthetic_data=True,
+                  log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "c"),
+                  seed=0)
+    fit(cfg, TrainConfig(epochs=1, zero1=True, **common), verbose=False)
+    s2 = fit(cfg, TrainConfig(epochs=2, resume=True, zero1=False, **common),
+             verbose=False)
+    assert len(s2["history"]) == 1 and s2["history"][0]["epoch"] == 2
+    s3 = fit(cfg, TrainConfig(epochs=3, resume=True, zero1=True, **common),
+             verbose=False)
+    assert len(s3["history"]) == 1 and s3["history"][0]["epoch"] == 3
+    assert s3["best_acc"] >= s2["best_acc"] - 5.0  # trajectory continues

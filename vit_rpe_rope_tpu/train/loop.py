@@ -174,27 +174,63 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         train_params = params
         opt_state = jax.device_put(tx.init(train_params), replicated)
 
-    last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
-    start_epoch, best_acc = 0, 0.0
-    if tcfg.resume and os.path.exists(last_path):
-        # On-disk train state is always reference layout (params AND
-        # optimizer moments); TP re-prepares both after loading.
-        params, opt_state, start_epoch, best_acc = checkpoint.load_train_state(
-            last_path, jax.device_get(opt_state))
-        params = jax.device_put(params, replicated)
+    # --- canonical on-disk optimizer form: ONE flat [total] vector per Adam
+    # moment, whatever driver is active (dict / flat / zero1 / TP), so a run
+    # can be resumed under a DIFFERENT driver (CPU<->TPU, --zero1 toggled,
+    # --model_parallel changed). Moments are elementwise per-parameter state,
+    # so the re-layout is exact.
+    is_dict_node = lambda x: isinstance(x, dict)  # noqa: E731
+    n_data = mesh.shape[DATA_AXIS]
+    zero1_padded = ts.zero1_shard_size(flattener.total, n_data) * n_data
+
+    def opt_to_disk(o):
+        if use_tp:
+            o = tp.restore_reference_opt_state(jax.device_get(o), cfg)
+        o = jax.device_get(o)
+        o = jax.tree_util.tree_map(
+            lambda n: np.asarray(flatten_j(n)) if isinstance(n, dict) else n,
+            o, is_leaf=is_dict_node)
+        return jax.tree_util.tree_map(
+            lambda l: l[:flattener.total]
+            if getattr(l, "ndim", 0) == 1 and l.shape[0] == zero1_padded
+            else l, o)
+
+    def opt_from_disk(o):
+        """Canonical (flat-moment) state -> this run's driver form, placed."""
+        if use_flat:
+            if zero1:
+                o = jax.tree_util.tree_map(
+                    lambda l: np.concatenate(
+                        [l, np.zeros(zero1_padded - l.shape[0], l.dtype)])
+                    if getattr(l, "ndim", 0) == 1
+                    and l.shape[0] == flattener.total else l, o)
+            return jax.device_put(
+                o, zero1_shardings if zero1 else replicated)
+        # vector moments -> reference-keyed dicts
+        o = jax.tree_util.tree_map(
+            lambda l: unflatten_j(l)
+            if getattr(l, "ndim", 0) == 1 and l.shape[0] == flattener.total
+            else l, o)
         if use_tp:
             opt_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s),
-                ts.opt_specs_like(opt_state, param_specs),
+                ts.opt_specs_like(o, param_specs),
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            return jax.jit(lambda oo: tp.prepare_tp_opt_state(oo, cfg),
+                           out_shardings=opt_shardings)(o)
+        return jax.device_put(o, replicated)
+
+    last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
+    start_epoch, best_acc = 0, 0.0
+    if tcfg.resume and os.path.exists(last_path):
+        params, opt_loaded, start_epoch, best_acc = \
+            checkpoint.load_train_state(last_path, opt_to_disk(opt_state))
+        params = jax.device_put(params, replicated)
+        opt_state = opt_from_disk(opt_loaded)
+        if use_tp:
             train_params = prepare_j(params)
-            opt_state = jax.jit(lambda o: tp.prepare_tp_opt_state(o, cfg),
-                                out_shardings=opt_shardings)(opt_state)
         else:
             train_params = flatten_j(params) if use_flat else params
-            opt_state = jax.device_put(
-                opt_state,
-                zero1_shardings if zero1 else replicated)
         if verbose:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
@@ -254,15 +290,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                     jax.device_get(params), vit.buffers(cfg),
                     aliases=vit.reference_alias_keys(cfg))
             if tcfg.save_last:
-                if use_tp:
-                    opt_to_save = jax.device_get(jax.jit(
-                        lambda o: tp.restore_reference_opt_state(o, cfg)
-                    )(opt_state))
-                else:
-                    opt_to_save = jax.device_get(opt_state)
                 checkpoint.save_train_state(
-                    last_path, jax.device_get(params), opt_to_save, epoch,
-                    best_acc)
+                    last_path, jax.device_get(params), opt_to_disk(opt_state),
+                    epoch, best_acc)
 
             with open(log_file, "a", newline="") as f:
                 csv.writer(f).writerow(
