@@ -167,3 +167,16 @@ def test_remat_same_values_and_grads():
         # remat re-fuses the backward; diffs are float-reduction noise
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    rtol=1e-4, atol=5e-5, err_msg=k)
+
+
+def test_auto_attention_impl_switches_at_streaming_threshold():
+    """auto = XLA at reference shapes (measured faster), Pallas flash in the
+    long-sequence streaming regime (measured faster AND avoids the [B,H,N,N]
+    logits materialization)."""
+    from vit_rpe_rope_tpu.models.vit import _attention_impl
+
+    small = ViTConfig(img_size=32, patch_size=4, attention_impl="auto")
+    assert _attention_impl(small) == "reference"
+    big = ViTConfig(img_size=256, patch_size=4, attention_impl="auto")
+    assert big.seq_len > 2048
+    assert _attention_impl(big) == "flash"

@@ -160,11 +160,14 @@ def _attention_impl(cfg: ViTConfig) -> str:
         # fused unfused-attention beats the Pallas kernel — at N=65 per-
         # program overheads dominate, and at N=197 (ViT-S @224 bf16 train
         # step: 2,013 vs 1,409 img/s) the custom-VJP recompute backward loses
-        # to XLA's fused backward. "auto" therefore picks the XLA path; the
-        # Pallas kernel owns the N>2048 streaming regime (fwd+bwd, all PE
-        # modes) and is opt-in via attention_impl="flash". Full analysis:
-        # ROADMAP.md "Round-2 verdict on the small-shape kernel fight".
-        impl = "reference"
+        # to XLA's fused backward. Above the streaming threshold the Pallas
+        # kernel WINS (N=4097 train step: 35.3 vs 42.1 ms, and it never
+        # materializes the [B, H, N, N] logits XLA needs ~1 GB for), so
+        # "auto" switches to it there. Full analysis: ROADMAP.md "Round-2
+        # verdict on the small-shape kernel fight".
+        from vit_rpe_rope_tpu.ops.flash_attention import STREAMING_THRESHOLD
+
+        impl = "flash" if cfg.seq_len > STREAMING_THRESHOLD else "reference"
     return impl
 
 
