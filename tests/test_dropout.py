@@ -119,3 +119,43 @@ def test_train_step_with_dropout_runs():
     m = np.asarray(m)
     assert np.isfinite(m[0])
     assert not np.array_equal(np.asarray(params["head.weight"]), p0)
+
+
+def test_dropout_masks_differ_across_epochs():
+    """The per-step PRNG key folds in the epoch (step_arr[1]), so dropout
+    masks/augment crops do NOT recur at step s of every epoch; same
+    (epoch, step) stays reproducible."""
+    import optax
+
+    from vit_rpe_rope_tpu.data import datasets
+    from vit_rpe_rope_tpu.parallel.mesh import (
+        DATA_AXIS, NamedSharding, P, make_mesh)
+    from vit_rpe_rope_tpu.train import train_step as ts
+
+    cfg = small_cfg(drop_rate=0.5)
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=1)
+    bundle = datasets.synthetic("mnist", n_train=8, n_test=8, seed=0)
+    mesh = make_mesh(batch_size=8, num_devices=1)
+    rep = NamedSharding(mesh, P())
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.1)
+    fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    ei = jax.device_put(jnp.zeros((1, 8), jnp.int32),
+                        NamedSharding(mesh, P(None, DATA_AXIS)))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+
+    def one(step_arr):
+        params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg),
+                                rep)
+        opt = jax.device_put(tx.init(params), rep)
+        _, _, m = fn(params, opt, jnp.asarray(step_arr, jnp.int32),
+                     dx, dy, ei)
+        return float(np.asarray(m)[0])
+
+    l_e0 = one([0, 0])
+    l_e1 = one([0, 1])
+    l_e0_again = one([0, 0])
+    assert l_e0 == l_e0_again          # reproducible per (epoch, step)
+    assert l_e0 != l_e1                # different masks across epochs
+    assert one([0]) == l_e0            # legacy [s] form == epoch 0

@@ -161,18 +161,20 @@ def visualize_comparison(models, names, args):
     return _save(fig, args, "comparison")
 
 
-def _load_models_tolerant(pairs, args):
-    """Load (path, method) checkpoints for comparison, warning and SKIPPING
-    any that fail to load or shape-check — the reference's multi-model
-    behavior (/root/reference/pe_similarity_visualizer.py:557-572 warns and
-    skips on mismatch instead of aborting the whole comparison)."""
+def _load_models_tolerant(triples, args):
+    """Load (path, method, display_name) checkpoints for comparison,
+    warning and SKIPPING any that fail to load or shape-check — the
+    reference's multi-model behavior
+    (/root/reference/pe_similarity_visualizer.py:557-572 warns and skips on
+    mismatch instead of aborting the whole comparison). Display names stay
+    aligned with their surviving models."""
     models, names = [], []
-    for path, method in pairs:
+    for path, method, name in triples:
         try:
             models.append(introspect.load_pe_model(
                 path, method, args.grid_size, args.num_heads,
                 args.rope_theta))
-            names.append(method)
+            names.append(name)
         except Exception as e:  # noqa: BLE001 — tool-level resilience
             print(f"Warning: could not load {path} as '{method}': {e}")
             print(f"Skipping {method}.")
@@ -184,13 +186,14 @@ def main(argv=None):
 
     if args.compare_models and args.model_paths:
         configs = args.model_configs or [args.model_config] * len(args.model_paths)
-        models, loaded = _load_models_tolerant(
-            list(zip(args.model_paths, configs)), args)
+        display = (args.model_names
+                   if args.model_names
+                   and len(args.model_names) == len(args.model_paths)
+                   else configs)
+        models, names = _load_models_tolerant(
+            list(zip(args.model_paths, configs, display)), args)
         if not models:
             raise SystemExit("No models could be loaded for comparison.")
-        names = args.model_names if (
-            args.model_names and len(args.model_names) == len(models)
-        ) else loaded
         return visualize_comparison(models, names, args)
 
     if args.load_model and args.model_path:
@@ -209,7 +212,7 @@ def main(argv=None):
     if found:
         print(f"Auto-discovered checkpoints: {sorted(found)}")
         models, names = _load_models_tolerant(
-            [(p, m) for m, p in found.items()], args)
+            [(p, m, m) for m, p in found.items()], args)
         if models:
             return visualize_comparison(models, names, args)
         print("No discovered checkpoint could be loaded; falling back to "

@@ -394,9 +394,9 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 #   ds_ij = p_ij (g_i · v_j − D_i)
 #   dq_i  = scale Σ_j ds_ij k_j        dk_j = scale Σ_i ds_ij q_i
 # Rotation: dq/dk are gradients w.r.t. ROTATED q/k; the inverse rotation
-# (cos, −sin) maps them back. Used for fixed-frequency rope (axial); the
-# learnable rope-mixed case falls back to the oracle VJP (it additionally
-# needs dcos/dsin).
+# (cos, −sin) maps them back. Learnable (rope-mixed) frequencies get their
+# (dcos, dsin) from the rotated-space gradients the dq/dkv passes expose
+# (_rot_grads_to_dfreqs); a separate batch-innermost pass accumulates dbias.
 # ---------------------------------------------------------------------------
 
 def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
@@ -570,7 +570,7 @@ def _stream_bwd_dbias_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dbias_ref[0] = acc_ref[...].astype(dbias_ref.dtype)
 
 
-def _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype):
+def _streaming_lse(q, k, scale, bias, freqs_cis, n):
     """Per-row logsumexp recomputed with the streaming forward structure (in
     plain jnp over kv chunks — small [Tq] state, no N×N materialization)."""
     b, h, nq, d = q.shape
@@ -601,7 +601,7 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     matching the input freqs_cis when want_dfreqs (learnable rope-mixed),
     reduced from the rotated-space q/k gradients outside the kernels."""
     b, h, n, d = q.shape
-    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, mm_dtype)
+    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
     q_tile = min(q_tile, _round_up(n, 8))

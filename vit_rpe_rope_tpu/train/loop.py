@@ -36,11 +36,13 @@ POSTFIX_EVERY = 50  # tqdm postfix refresh period (forces a small host sync)
 
 
 def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool,
-               k: int = 1):
+               k: int = 1, epoch: int = 0):
     """Drive one epoch; returns (state, avg_batch_loss, accuracy_pct,
     images_per_sec). Metrics accumulate as device arrays; one sync at end.
     k > 1 = multi-step dispatches (step_fn built by make_train_multi_step;
-    epoch_idx already padded to a multiple of k)."""
+    epoch_idx already padded to a multiple of k). The epoch number rides in
+    step_arr[1] so per-step PRNG keys (augmentation/dropout) differ across
+    epochs."""
     steps = epoch_idx.shape[0]
     metrics = []
     # The in-process CPU collective backend deadlocks (rendezvous timeout)
@@ -51,7 +53,7 @@ def _run_epoch(step_fn, state, data_x, data_y, epoch_idx, desc, train: bool,
     t0 = time.perf_counter()
     pbar = tqdm(range(0, steps, k), desc=desc, leave=False)
     for s in pbar:
-        step_arr = jnp.asarray([s], jnp.int32)
+        step_arr = jnp.asarray([s, epoch], jnp.int32)
         if train:
             params, opt_state, m = step_fn(
                 state[0], state[1], step_arr, data_x, data_y, epoch_idx)
@@ -102,6 +104,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     mesh = make_mesh(batch_size=tcfg.batch_size,
                      model_parallel=tcfg.model_parallel)
     use_tp = tcfg.model_parallel > 1
+    if cfg.attn_drop_rate > 0 and cfg.seq_len > 2048:
+        import warnings
+
+        warnings.warn(
+            "attn_drop_rate > 0 materializes the attention probabilities "
+            f"(the dropout mask lives on them), so at seq_len={cfg.seq_len} "
+            "the streaming flash path is bypassed and each block allocates "
+            "O(B*H*N^2) memory", stacklevel=2)
     if use_tp and cfg.num_heads % tcfg.model_parallel != 0:
         raise ValueError(
             f"model_parallel={tcfg.model_parallel} must divide "
@@ -184,9 +194,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     zero1_padded = ts.zero1_shard_size(flattener.total, n_data) * n_data
 
     def opt_to_disk(o):
-        if use_tp:
-            o = tp.restore_reference_opt_state(jax.device_get(o), cfg)
         o = jax.device_get(o)
+        if use_tp:
+            o = tp.restore_reference_opt_state(o, cfg)
         o = jax.tree_util.tree_map(
             lambda n: np.asarray(flatten_j(n)) if isinstance(n, dict) else n,
             o, is_leaf=is_dict_node)
@@ -274,7 +284,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 ts.pad_epoch_indices(epoch_idx, k), idx_sharding)
             (train_params, opt_state), train_loss, train_acc, train_ips = \
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
-                           train_y, epoch_idx, "Training", True, k=k)
+                           train_y, epoch_idx, "Training", True, k=k,
+                           epoch=epoch)
             if use_tp:
                 params = gather_j(train_params)
             else:

@@ -117,8 +117,14 @@ def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
     return loss_sum, correct
 
 
+def _epoch_of(step_vec):
+    """Epoch component of a driver step vector — [s, epoch] from the
+    training loop, or legacy [s] (epoch 0) from direct callers/tests."""
+    return step_vec[1] if step_vec.shape[0] > 1 else jnp.int32(0)
+
+
 def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
-             apply_fn, guard, seed=0, update_fn=None):
+             apply_fn, guard, seed=0, update_fn=None, epoch=0):
     """One data-parallel optimizer step (runs inside shard_map). Shared by
     the per-step, fused-multi-step, and flat-vector drivers.
 
@@ -136,10 +142,12 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     # Global real-example count (constant w.r.t. params).
     count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
     safe_count = jnp.maximum(count, 1.0)
-    # Per-(step, shard) key — only consumed when augmentation is enabled
-    # (otherwise dead code, eliminated by XLA).
+    # Per-(epoch, step, shard) key for augmentation and dropout (dead code
+    # eliminated by XLA when neither is enabled). The epoch fold matters:
+    # without it the same masks/crops would recur at step s of EVERY epoch.
     key = jax.random.fold_in(
-        jax.random.fold_in(jax.random.PRNGKey(seed), step),
+        jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), epoch), step),
         jax.lax.axis_index(DATA_AXIS))
 
     def loss_fn(pp):
@@ -189,7 +197,7 @@ def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess):
     def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
         return _dp_step(params, opt_state, step[0], data_x, data_y, epoch_idx,
                         cfg=cfg, preprocess=preprocess, tx=tx, apply_fn=None,
-                        guard=False, seed=tcfg.seed)
+                        guard=False, seed=tcfg.seed, epoch=_epoch_of(step))
 
     return _shard_train_fn(local_step, mesh)
 
@@ -205,10 +213,13 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     no-ops (see _dp_step)."""
 
     def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
+        epoch = _epoch_of(start)
+
         def body(carry, step):
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
-                               apply_fn=None, guard=True, seed=tcfg.seed)
+                               apply_fn=None, guard=True, seed=tcfg.seed,
+                               epoch=epoch)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
@@ -252,6 +263,17 @@ def _pad_vec(vec, n: int):
     return jnp.concatenate([vec, jnp.zeros((pad,), vec.dtype)])
 
 
+def _zero1_opt_specs(tx, padded: int):
+    """(proto_state, spec_tree) for a ZeRO-1 optimizer over a padded flat
+    vector: array leaves (moments) shard over 'data', scalars (the Adam step
+    count) stay replicated."""
+    proto = tx.init(jnp.zeros((padded,), jnp.float32))
+    specs = jax.tree_util.tree_map(
+        lambda leaf: P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P(),
+        proto)
+    return proto, specs
+
+
 def init_zero1_opt_state(tx, flattener, mesh):
     """Optimizer state for ZeRO-1: moments exist only for THIS shard's slice
     of the (padded) flat parameter vector. Returns (opt_state, opt_specs)
@@ -260,10 +282,7 @@ def init_zero1_opt_state(tx, flattener, mesh):
     stay replicated)."""
     n_data = mesh.shape[DATA_AXIS]
     padded = zero1_shard_size(flattener.total, n_data) * n_data
-    proto = tx.init(jnp.zeros((padded,), jnp.float32))
-    specs = jax.tree_util.tree_map(
-        lambda leaf: P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P(),
-        proto)
+    proto, specs = _zero1_opt_specs(tx, padded)
     from vit_rpe_rope_tpu.parallel.mesh import NamedSharding
 
     placed = jax.device_put(
@@ -314,12 +333,15 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         return p_full[:flattener.total], o_new
 
     def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
+        epoch = _epoch_of(start)
+
         def body(carry, step):
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
                                apply_fn=flat_apply,
                                guard=guard_padded_steps, seed=tcfg.seed,
-                               update_fn=zero1_update if zero1 else None)
+                               update_fn=zero1_update if zero1 else None,
+                               epoch=epoch)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32)
@@ -327,12 +349,7 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             body, (flat, opt_state), steps)
         return flat, opt_state, metrics
 
-    opt_spec = P()
-    if zero1:
-        opt_spec = jax.tree_util.tree_map(
-            lambda leaf: P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1
-            else P(),
-            tx.init(jnp.zeros((padded,), jnp.float32)))
+    opt_spec = _zero1_opt_specs(tx, padded)[1] if zero1 else P()
     return _shard_train_fn(local_multi, mesh, opt_spec=opt_spec)
 
 
@@ -357,6 +374,8 @@ def make_fused_adamw_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh,
         template, schedule, weight_decay=tcfg.weight_decay)
 
     def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
+        epoch = _epoch_of(start)
+
         def body(carry, step):
             p, o = carry
             idx = jax.lax.dynamic_index_in_dim(
@@ -365,7 +384,9 @@ def make_fused_adamw_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh,
             count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
             safe_count = jnp.maximum(count, 1.0)
             key = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step),
+                jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
+                    step),
                 jax.lax.axis_index(DATA_AXIS))
 
             def loss_fn(pp):
@@ -440,16 +461,20 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
     guard = guard_padded_steps and k > 1
 
-    def one_step(params, opt_state, step, data_x, data_y, epoch_idx):
+    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
+                 epoch=0):
         idx = jax.lax.dynamic_index_in_dim(
             epoch_idx, step, axis=0, keepdims=False)
         imgs, labels, mask = _gather_batch(data_x, data_y, idx)
         count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
         safe_count = jnp.maximum(count, 1.0)
-        # Augment/dropout key: per (step, data shard), IDENTICAL across the
-        # model axis (activations/masks there must stay replicated).
+        # Augment/dropout key: per (epoch, step, data shard), IDENTICAL
+        # across the model axis (activations/masks there must stay
+        # replicated).
         key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), step),
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
+                step),
             jax.lax.axis_index(DATA_AXIS))
 
         def loss_fn(p):
@@ -479,11 +504,14 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     if k == 1:
         def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
             return one_step(params, opt_state, step[0], data_x, data_y,
-                            epoch_idx)
+                            epoch_idx, epoch=_epoch_of(step))
     else:
         def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
+            epoch = _epoch_of(start)
+
             def body(carry, step):
-                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx)
+                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
+                                   epoch=epoch)
                 return (p, o), m
 
             steps = start[0] + jnp.arange(k, dtype=jnp.int32)

@@ -97,6 +97,13 @@ def load_train_state(path: str, opt_state_template):
               if not k.startswith("__")}
     treedef = jax.tree_util.tree_structure(opt_state_template)
     n_leaves = treedef.num_leaves
+    n_stored = sum(1 for k in state if k.startswith("__opt."))
+    if n_stored != n_leaves:
+        raise ValueError(
+            f"{path} stores {n_stored} optimizer leaves but the current "
+            f"optimizer expects {n_leaves} — the file predates the canonical "
+            "flat-moment format (or was written by a different optimizer). "
+            "Delete the stale _last.npz (or retrain) to proceed.")
     leaves = [jnp.asarray(state[f"__opt.{i}"]) for i in range(n_leaves)]
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return (params, opt_state, int(state["__epoch"]) + 1,
