@@ -217,3 +217,19 @@ def test_pe_similarity_comparison_skips_bad_model(tmp_path, capsys):
     assert "Skipping polynomial." in out
     assert any(p.startswith("pe_similarity_comparison")
                for p in os.listdir(tmp_path))
+
+
+def test_rope_visualizer_compare_skips_bad_model(tmp_path, capsys):
+    """--compare_models warns and degrades to the surviving model when one
+    checkpoint fails to load (reference recovers instead of aborting)."""
+    from vit_rpe_rope_tpu.cli import rope_visualizer as cli
+
+    good, _ = _save_ckpt(tmp_path, "rope-axial")
+    bad, _ = _save_ckpt(tmp_path, "relative")  # not a rope-mixed checkpoint
+    cli.main(["--compare_models", "--axial_model_path", good,
+              "--mixed_model_path", bad, "--grid_size", "8", "--dim", "16",
+              "--num_heads", "2", "--dpi", "50",
+              "--output_dir", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert "Skipping rope-mixed." in out
+    assert any(p.endswith(".png") for p in os.listdir(tmp_path / "out"))

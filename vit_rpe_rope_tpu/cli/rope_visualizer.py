@@ -187,9 +187,26 @@ def _freqs_from_checkpoint(path, method, args):
 
 
 def visualize_model_comparison(args):
-    """Trained axial vs trained mixed (/root/reference/rope_visualizer.py:610-728)."""
-    axial = _freqs_from_checkpoint(args.axial_model_path, "rope-axial", args)
-    mixed = _freqs_from_checkpoint(args.mixed_model_path, "rope-mixed", args)
+    """Trained axial vs trained mixed (/root/reference/rope_visualizer.py:
+    610-728). A checkpoint that fails to load is warned about and skipped
+    (the comparison degrades to the single surviving model), mirroring the
+    reference tool's recover-instead-of-abort behavior
+    (/root/reference/rope_visualizer.py:249-284)."""
+    axial = mixed = None
+    for attr, method in (("axial_model_path", "rope-axial"),
+                         ("mixed_model_path", "rope-mixed")):
+        try:
+            freqs = _freqs_from_checkpoint(getattr(args, attr), method, args)
+            if method == "rope-axial":
+                axial = freqs
+            else:
+                mixed = freqs
+        except Exception as e:  # noqa: BLE001 — tool-level resilience
+            print(f"Warning: could not load {getattr(args, attr)} as "
+                  f"'{method}': {e}")
+            print(f"Skipping {method}.")
+    if axial is None and mixed is None:
+        raise SystemExit("Neither model could be loaded for comparison.")
     return visualize_rope_frequencies(args, axial=axial, mixed=mixed,
                                       tag="models_")
 
