@@ -1,0 +1,240 @@
+"""Sequence/context parallelism: ring-attention numerics and gradients vs the
+oracle, CP forward parity vs the replicated model for every PE mode, and a
+CP+DP training trajectory vs plain DP (SURVEY.md §5.7 extension — the
+reference has no long-context machinery; this is the TPU-native KV split its
+design note left room for)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
+from vit_rpe_rope_tpu.data import datasets
+from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.ops import reference_attention
+from vit_rpe_rope_tpu.parallel import context_parallel as cp
+from vit_rpe_rope_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, NamedSharding, P, make_mesh, shard_map)
+from vit_rpe_rope_tpu.train import train_step as ts
+
+
+def cp_mesh(seq=4, data=1):
+    return make_mesh(num_devices=data * seq, model_parallel=seq)
+
+
+def ring_global(mesh, q, k, v, scale, bias=None, n_valid=None):
+    """Run ring_attention on GLOBAL [B, H, N, D] tensors by sharding the
+    token axis over the mesh's 'model' axis."""
+    tok = P(None, None, MODEL_AXIS, None)
+    bias_spec = P(None, MODEL_AXIS, None)  # q rows sharded, all key columns
+
+    def local(qq, kk, vv, bb):
+        return cp.ring_attention(qq, kk, vv, scale, MODEL_AXIS, bias=bb,
+                                 n_valid=n_valid)
+
+    if bias is None:
+        fn = shard_map(lambda qq, kk, vv: local(qq, kk, vv, None), mesh,
+                       in_specs=(tok, tok, tok), out_specs=tok)
+        return fn(q, k, v)
+    fn = shard_map(local, mesh, in_specs=(tok, tok, tok, bias_spec),
+                   out_specs=tok)
+    return fn(q, k, v, bias)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_ring_attention_matches_oracle(with_bias):
+    mesh = cp_mesh(seq=4)
+    b, h, n, d = 2, 3, 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    bias = jax.random.normal(ks[3], (h, n, n)) if with_bias else None
+    ref = reference_attention.attention(q, k, v, 0.25, bias=bias)
+    out = jax.jit(lambda *a: ring_global(mesh, *a, scale=0.25, bias=bias))(
+        q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_masks_padding():
+    """Padded key columns (global index >= n_valid) must not leak into any
+    valid row's softmax: the ring on padded inputs == the oracle on the
+    unpadded ones."""
+    mesh = cp_mesh(seq=4)
+    b, h, n_valid, d = 2, 2, 13, 8
+    n_pad = 16  # 4 shards x 4 local tokens; last shard holds 3 pad keys
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, h, n_valid, d))
+    k = jax.random.normal(ks[1], (b, h, n_valid, d))
+    v = jax.random.normal(ks[2], (b, h, n_valid, d))
+    pad = ((0, 0), (0, 0), (0, n_pad - n_valid), (0, 0))
+    # Pad K/V with LARGE junk — if masking failed this would dominate rows.
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad, constant_values=7.0), \
+        jnp.pad(v, pad, constant_values=-5.0)
+    ref = reference_attention.attention(q, k, v, d ** -0.5)
+    out = jax.jit(lambda *a: ring_global(
+        mesh, *a, scale=d ** -0.5, n_valid=n_valid))(qp, kp, vp)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :n_valid],
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_grads_match_oracle():
+    """d(q, k, v, bias) through the ring (AD through scan + ppermute
+    transpose) == the oracle's gradients."""
+    mesh = cp_mesh(seq=4)
+    b, h, n, d = 1, 2, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    bias = 0.3 * jax.random.normal(ks[3], (h, n, n))
+    w = jax.random.normal(ks[4], (b, h, n, d))  # fixed cotangent direction
+
+    def loss_ring(q, k, v, bias):
+        out = ring_global(mesh, q, k, v, scale=0.5, bias=bias)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(reference_attention.attention(
+            q, k, v, 0.5, bias=bias) * w)
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for gr, gf, name in zip(g_ring, g_ref, "qkvb"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
+                                "rope-axial", "rope-mixed"])
+def test_apply_cp_matches_apply(pe):
+    """CP forward (tokens sharded 4 ways, N=17 -> padded to 20) == the
+    replicated forward, for every PE mode (identity-row rotation for cls,
+    zero-padded bias, masked pad keys)."""
+    cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=2, num_heads=4, pos_encoding=pe,
+                    attention_impl="reference")
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    ref = vit.apply(params, x, cfg)
+
+    mesh = cp_mesh(seq=4, data=2)
+    fwd = shard_map(lambda p, xx: cp.apply_cp(p, xx, cfg), mesh,
+                    in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS))
+    out = jax.jit(fwd)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("pe", ["relative", "rope-mixed"])
+def test_cp_training_matches_dp(pe):
+    """A dp=2 × seq=4 CP step must reproduce the plain 1-device DP step's
+    params — the both-axes gradient psum counts every token exactly once
+    (bias-table grads for relative, learnable-freq grads for rope-mixed)."""
+    cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=2, num_heads=4, pos_encoding=pe,
+                    attention_impl="reference")
+    tcfg = TrainConfig(dataset="mnist", batch_size=16, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=64, n_test=8, seed=2)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.05)
+    params0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+    ei = ts.epoch_indices(jax.random.PRNGKey(7), 64, 16, True)
+
+    # Reference: plain DP on 1 device.
+    mesh1 = make_mesh(num_devices=1)
+    rep1 = NamedSharding(mesh1, P())
+    p = jax.device_put(params0, rep1)
+    o = jax.device_put(tx.init(params0), rep1)
+    fn = ts.make_train_step(cfg, tcfg, mesh1, tx, pre)
+    dx = jax.device_put(bundle.train_x, rep1)
+    dy = jax.device_put(bundle.train_y, rep1)
+    ei1 = jax.device_put(ei, NamedSharding(mesh1, P(None, DATA_AXIS)))
+    losses_ref = []
+    for s in range(3):
+        p, o, m = fn(p, o, jnp.asarray([s], jnp.int32), dx, dy, ei1)
+        losses_ref.append(float(np.asarray(m)[0]))
+    p_ref = jax.device_get(p)
+
+    mesh = cp_mesh(seq=4, data=2)
+    rep = NamedSharding(mesh, P())
+    p2 = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    o2 = jax.device_put(tx.init(p2), rep)
+    fn_cp = ts.make_cp_train_step(cfg, tcfg, mesh, tx, pre)
+    dx2 = jax.device_put(bundle.train_x, rep)
+    dy2 = jax.device_put(bundle.train_y, rep)
+    ei2 = jax.device_put(ei, NamedSharding(mesh, P(None, DATA_AXIS)))
+    losses_cp = []
+    for s in range(3):
+        p2, o2, m = fn_cp(p2, o2, jnp.asarray([s], jnp.int32), dx2, dy2, ei2)
+        m.block_until_ready()
+        losses_cp.append(float(np.asarray(m)[0]))
+    np.testing.assert_allclose(losses_cp, losses_ref, rtol=1e-4)
+    g2 = jax.device_get(p2)
+    for kk in p_ref:
+        np.testing.assert_allclose(np.asarray(g2[kk]), np.asarray(p_ref[kk]),
+                                   rtol=1e-4, atol=1e-5, err_msg=kk)
+
+
+def test_cp_eval_step_matches_replicated():
+    """make_eval_step(apply_fn=apply_cp) on the dp=2 × seq=4 mesh reports the
+    same metrics as the replicated eval."""
+    cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=2, num_heads=4, pos_encoding="rope-axial",
+                    attention_impl="reference")
+    bundle = datasets.synthetic("mnist", n_train=8, n_test=32, seed=3)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    ei = ts.epoch_indices(jax.random.PRNGKey(0), 32, 16, False)
+
+    mesh = cp_mesh(seq=4, data=2)
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(params, rep), jnp.asarray([0], jnp.int32),
+            jax.device_put(bundle.test_x, rep),
+            jax.device_put(bundle.test_y, rep),
+            jax.device_put(ei, NamedSharding(mesh, P(None, DATA_AXIS))))
+    m_rep = np.asarray(ts.make_eval_step(cfg, mesh, pre, k=2)(*args))
+    m_cp = np.asarray(ts.make_eval_step(cfg, mesh, pre, k=2,
+                                        apply_fn=cp.apply_cp)(*args))
+    np.testing.assert_allclose(m_cp, m_rep, rtol=1e-5, atol=1e-6)
+
+
+def test_fit_sequence_parallel_cli(tmp_path):
+    """CP is reachable from the product surface: a CLI run with
+    --sequence_parallel 4 on the virtual 8-device mesh (dp=2 × seq=4) trains,
+    evals (CP eval path), checkpoints with the reference key contract, and
+    resumes — params stay replicated, so checkpoint interop is the plain
+    path."""
+    import numpy as np
+
+    from vit_rpe_rope_tpu.cli import train as cli_train
+
+    base = ["--dataset", "mnist", "--pos_encoding", "rope-axial",
+            "--img_size", "16", "--patch_size", "4", "--embed_dim", "64",
+            "--depth", "2", "--num_heads", "4",
+            "--batch_size", "64", "--synthetic",
+            "--log_dir", str(tmp_path / "logs"),
+            "--ckpt_dir", str(tmp_path / "ckpts"),
+            "--attention_impl", "reference",
+            "--sequence_parallel", "4"]
+    summary = cli_train.main(base + ["--epochs", "1"])
+    assert summary["num_devices"] == 8
+    assert summary["best_acc"] > 15.0  # above 10% chance
+    ckpt = tmp_path / "ckpts" / "mnist_rope-axial_best.npz"
+    assert ckpt.exists()
+    with np.load(ckpt) as z:
+        keys = set(z.files)
+    assert "pos_embed.inv_freq" in keys  # Q9 key contract intact
+    assert "blocks.0.attn.qkv.weight" in keys
+
+    summary2 = cli_train.main(base + ["--epochs", "2", "--resume"])
+    assert len(summary2["history"]) == 1
+    assert summary2["history"][0]["epoch"] == 2
+
+
+def test_sequence_parallel_rejects_model_parallel():
+    with pytest.raises(ValueError, match="alternative uses"):
+        TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)

@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                           " heads and the MLP hidden dim over the mesh's"
                           " 'model' axis (must divide num_heads; 1 = pure"
                           " data parallelism)")
+    ext.add_argument("--sequence_parallel", type=int, default=1,
+                     help="[extension] sequence/context-parallel degree: "
+                          "shard tokens over the mesh's 'model' axis and run "
+                          "attention as a KV ring over ICI (long-sequence "
+                          "memory scaling; mutually exclusive with "
+                          "--model_parallel)")
     ext.add_argument("--zero1", action="store_true",
                      help="[extension] ZeRO stage 1: shard the Adam moments "
                           "over the data axis (1/n_data optimizer memory per "
@@ -154,6 +160,7 @@ def main(argv=None):
         resume=args.resume,
         augment=args.augment,
         model_parallel=args.model_parallel,
+        sequence_parallel=args.sequence_parallel,
         steps_per_dispatch=args.steps_per_dispatch,
         zero1=args.zero1,
     )

@@ -153,6 +153,11 @@ class TrainConfig:
     # all_gather over ICI). Elementwise-identical trajectory. Requires the
     # flat driver; incompatible with model_parallel > 1.
     zero1: bool = False
+    # Sequence/context parallelism degree: shard tokens over the mesh's
+    # 'model' axis and run attention as a KV ring over ICI
+    # (parallel/context_parallel.py). 1 = no token sharding. Mutually
+    # exclusive with model_parallel (both use the same mesh axis).
+    sequence_parallel: int = 1
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -160,11 +165,19 @@ class TrainConfig:
         if self.model_parallel < 1:
             raise ValueError(
                 f"model_parallel must be >= 1; got {self.model_parallel}")
-        if self.zero1 and self.model_parallel > 1:
+        if self.sequence_parallel < 1:
+            raise ValueError(
+                f"sequence_parallel must be >= 1; got {self.sequence_parallel}")
+        if self.model_parallel > 1 and self.sequence_parallel > 1:
+            raise ValueError(
+                "model_parallel and sequence_parallel are alternative uses "
+                "of the mesh's 'model' axis — pick one")
+        if self.zero1 and (self.model_parallel > 1
+                           or self.sequence_parallel > 1):
             raise ValueError(
                 "zero1 shards the flat-vector optimizer over the data axis "
-                "and is incompatible with model_parallel > 1 (TP keeps dict "
-                "params)")
+                "and is incompatible with model_parallel/sequence_parallel "
+                "> 1 (those drivers keep dict params)")
 
     @property
     def in_chans(self) -> int:

@@ -1,0 +1,225 @@
+"""Sequence / context parallelism: ring attention over the mesh's 'model' axis.
+
+The reference is single-device with O(N²)-materialized attention
+(/root/reference/models/vit.py:71; SURVEY.md §5.7 — no ring/context/sequence
+parallelism exists to mirror). This module is the TPU-native extension the
+survey's design note left room for ("keep the kernel's bias-tile loader
+indexed by (q-block, kv-block) so a future CP split along KV is not
+foreclosed"): tokens are sharded over a mesh axis, Q stays resident, and the
+K/V shards rotate around the ring via lax.ppermute (one ICI neighbor hop per
+step) while an online-softmax accumulator merges the partial attention — the
+blockwise/flash formulation distributed across chips.
+
+What it buys: per-device attention residency drops from O(N²) to O(N²/R) and
+per-device activations from O(N) to O(N/R), so sequences that exceed one
+chip's HBM train across the ring. Compute overlaps communication naturally:
+each ppermute moves [B, H, N/R, D] tiles while the MXU consumes the previous
+tile (XLA schedules the ppermute DMA concurrently with the matmuls).
+
+Layout contract:
+  * the global token order is shard-major: shard i owns tokens
+    [i·Nl, (i+1)·Nl) of the padded sequence; the cls token (global index 0 —
+    SURVEY.md Q2) therefore lives at local row 0 of shard 0;
+  * padding tokens (to make N divisible by the ring size) sit at the tail of
+    the LAST shard and are masked out of every softmax as keys; their q rows
+    compute garbage that nothing reads (the head consumes only the cls row);
+  * rotary cos/sin are expanded to one global table with identity rows for
+    the cls token and the padding (ops/flash_attention._prep_freqs — rotation
+    by phase 0 is the identity), so every shard rotates ALL its local tokens
+    uniformly;
+  * additive PE bias [H, N, N] is padded with zeros and pre-sliced to this
+    shard's q rows [H, Nl, Npad]; ring steps slice the kv columns.
+
+CP and tensor parallelism are alternative uses of the same mesh axis: one run
+picks --sequence_parallel OR --model_parallel (both shard over MODEL_AXIS).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vit_rpe_rope_tpu import pe as pe_registry
+from vit_rpe_rope_tpu.configs import (
+    PE_KIND_EMBED_ADDITIVE,
+    PE_KIND_LOGITS_BIAS,
+    PE_KIND_QK_ROTATION,
+    ViTConfig,
+)
+from vit_rpe_rope_tpu.models.vit import _layer_norm, _linear, patch_embed
+from vit_rpe_rope_tpu.ops.flash_attention import _pad_seq, _prep_freqs
+from vit_rpe_rope_tpu.ops.rotary import rotate_half_split
+from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, psum_identity_bwd
+
+NEG_INF = -1e30
+
+
+def ring_attention(q, k, v, scale, axis_name: str = MODEL_AXIS, bias=None,
+                   n_valid: int | None = None):
+    """Distributed scaled-dot-product attention with the KV ring rotating over
+    `axis_name`. Must run inside shard_map.
+
+    q, k, v: [B, H, Nl, D] — this shard's tokens (shard-major global order).
+    bias: optional [H, Nl, Npad] additive logits bias — this shard's q rows
+      against ALL (padded) key columns; each ring step slices its kv block.
+    n_valid: number of globally valid tokens (static); keys with global index
+      >= n_valid are masked to -inf. None = all Npad tokens valid.
+
+    Online-softmax merge (the flash recurrence): running row-max m, running
+    normalizer l, unnormalized accumulator acc; every incoming KV block
+    rescales the carry by exp(m_old - m_new). Blocks seen before any valid
+    key (m still -1e30) contribute exp(0)=1 junk that the first valid
+    block's rescale multiplies by exp(-1e30 - m_valid) = 0 — correct as long
+    as one valid key exists globally (the cls token always does).
+
+    Differentiable by AD through the scan (ppermute transposes to the inverse
+    permutation); the saved per-step residuals total O(N²/R) per device —
+    that factor-R memory saving IS the point of the ring.
+
+    Matches reference_attention.attention numerically (same f32 softmax
+    statistics, associativity-level differences only).
+    """
+    r_total = jax.lax.psum(1, axis_name)  # static axis size
+    my = jax.lax.axis_index(axis_name)
+    b, h, nl, d = q.shape
+    n_pad = nl * r_total
+    if n_valid is None:
+        n_valid = n_pad
+    # Each step sends the held KV block to the next shard, so at step r this
+    # shard holds the block shard (my - r) % R originally owned.
+    perm = [(i, (i + 1) % r_total) for i in range(r_total)]
+
+    def body(carry, r):
+        acc, m, l, k_cur, v_cur = carry
+        col0 = ((my - r) % r_total) * nl  # global column of this kv block
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k_cur,
+            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            tile = jax.lax.dynamic_slice_in_dim(bias, col0, nl, axis=2)
+            logits = logits + tile[None].astype(logits.dtype)
+        if n_valid < n_pad:
+            key_idx = col0 + jnp.arange(nl)
+            logits = jnp.where(key_idx[None, None, None, :] < n_valid,
+                               logits, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhnm,bhmd->bhnd", p.astype(v_cur.dtype), v_cur,
+            preferred_element_type=jnp.float32)
+        # The final hop is redundant work-wise but restores the original KV
+        # placement and keeps the scan body uniform.
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (acc_new, m_new, l_new, k_nxt, v_nxt), None
+
+    init = (
+        jnp.zeros((b, h, nl, d), jnp.float32),
+        jnp.full((b, h, nl), NEG_INF, jnp.float32),
+        jnp.zeros((b, h, nl), jnp.float32),
+        k, v,
+    )
+    (acc, _, l, _, _), _ = jax.lax.scan(
+        body, init, jnp.arange(r_total), length=r_total)
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(v.dtype)
+
+
+def _cp_block(params, prefix, x, cfg: ViTConfig, local_bias, local_freqs,
+              axis_name, n_valid):
+    """Pre-LN block on a LOCAL token shard x [B, Nl, E]: every op is
+    per-token except the attention, which runs the KV ring."""
+    eps = cfg.layer_norm_eps
+    h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
+                    params[f"{prefix}.norm1.bias"], eps)
+    bsz, nl, e = h.shape
+    nh, dh = cfg.num_heads, cfg.head_dim
+    qkv = _linear(h, params[f"{prefix}.attn.qkv.weight"])
+    qkv = qkv.reshape(bsz, nl, 3, nh, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, Nl, Dh]
+    if local_freqs is not None:
+        cos, sin = local_freqs  # [H, Nl, Dh/2] — identity rows cover cls/pad
+        q = rotate_half_split(q, cos[None], sin[None])
+        k = rotate_half_split(k, cos[None], sin[None])
+    attn_out = ring_attention(q, k, v, dh ** -0.5, axis_name,
+                              bias=local_bias, n_valid=n_valid)
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, nl, e)
+    x = x + _linear(attn_out, params[f"{prefix}.attn.proj.weight"],
+                    params[f"{prefix}.attn.proj.bias"])
+    h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
+                    params[f"{prefix}.norm2.bias"], eps)
+    h = _linear(h, params[f"{prefix}.mlp.fc1.weight"],
+                params[f"{prefix}.mlp.fc1.bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    h = _linear(h, params[f"{prefix}.mlp.fc2.weight"],
+                params[f"{prefix}.mlp.fc2.bias"])
+    return x + h
+
+
+def apply_cp(params, images, cfg: ViTConfig, axis_name: str = MODEL_AXIS):
+    """Sequence-parallel forward: same contract as models.vit.apply, but MUST
+    run inside shard_map over a mesh containing `axis_name`, with params
+    replicated and images sharded over 'data' only.
+
+    The embedding (patch matmul + cls + PE generators) runs redundantly on
+    every sequence shard — O(N·E) work, negligible next to the O(N²/R + N·E²)
+    blocks — then each shard slices its token range; under AD the slice
+    transpose scatters each shard's cotangent back, so param grads come out
+    PARTIAL over `axis_name` and the train step psums them (exactly one
+    count per token). The classifier head reads the cls row on shard 0 and a
+    partial-sum psum re-replicates the logits.
+
+    Dropout is not supported under CP (the reference's effective regime is
+    all rates 0 — SURVEY.md Q11); fit() rejects the combination.
+    """
+    assert not cfg.has_dropout, "context parallelism does not support dropout"
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    r_total = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+
+    x = patch_embed(params, images.astype(dtype), cfg)
+    bsz = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (bsz, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)  # [B, N, E]
+    n = x.shape[1]
+    n_pad = -(-n // r_total) * r_total
+    nl = n_pad // r_total
+
+    bias = None
+    freqs_cis = None
+    if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
+        x = pe_mod.add_embedding(params, x)
+    elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
+        bias = pe_mod.attn_bias(params, cfg)  # [H, N, N]
+    elif pe_mod.KIND == PE_KIND_QK_ROTATION:
+        freqs_cis = pe_mod.freqs_cis(params, cfg)
+
+    # Slice this shard's tokens (shard-major order; zero-padding at the tail).
+    x = jax.lax.dynamic_slice_in_dim(_pad_seq(x, n_pad, axis=1), my * nl, nl,
+                                     axis=1)
+
+    local_bias = None
+    local_freqs = None
+    if bias is not None:
+        pad = n_pad - n
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+        local_bias = jax.lax.dynamic_slice_in_dim(bias, my * nl, nl, axis=1)
+    if freqs_cis is not None:
+        cos, sin = _prep_freqs(freqs_cis, cfg.num_heads, n_pad, jnp.float32)
+        local_freqs = (
+            jax.lax.dynamic_slice_in_dim(cos, my * nl, nl, axis=1),
+            jax.lax.dynamic_slice_in_dim(sin, my * nl, nl, axis=1))
+
+    for i in range(cfg.depth):
+        x = _cp_block(params, f"blocks.{i}", x, cfg, local_bias, local_freqs,
+                      axis_name, n_valid=n)
+    x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
+                    cfg.layer_norm_eps)
+    # cls = global token 0 = local row 0 of shard 0; other shards contribute
+    # zeros to the partial-sum psum that re-replicates the logits.
+    logits = _linear(x[:, 0], params["head.weight"], params["head.bias"])
+    logits = logits * (my == 0).astype(logits.dtype)
+    return psum_identity_bwd(logits, axis_name).astype(jnp.float32)

@@ -26,6 +26,7 @@ from tqdm import tqdm
 from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
 from vit_rpe_rope_tpu.data import datasets
 from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.parallel import context_parallel as cp
 from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
 from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
 from vit_rpe_rope_tpu.train import train_step as ts
@@ -101,9 +102,16 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     bundle = datasets.get_dataset(
         tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
+    # TP and CP are alternative uses of the mesh's 'model' axis (configs.py
+    # rejects enabling both).
     mesh = make_mesh(batch_size=tcfg.batch_size,
-                     model_parallel=tcfg.model_parallel)
+                     model_parallel=max(tcfg.model_parallel,
+                                        tcfg.sequence_parallel))
     use_tp = tcfg.model_parallel > 1
+    use_cp = tcfg.sequence_parallel > 1
+    if use_cp and cfg.has_dropout:
+        raise ValueError("sequence_parallel does not support dropout rates "
+                         "> 0 (context_parallel.apply_cp)")
     if cfg.attn_drop_rate > 0 and cfg.seq_len > 2048:
         import warnings
 
@@ -148,7 +156,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # interface for eval/checkpoints. TP keeps dict params (its shardings are
     # per-key) but still fuses k steps per dispatch via lax.scan. ZeRO-1
     # rides the flat driver (it shards the flat moment vectors).
-    use_flat = (k > 1 or tcfg.zero1) and not use_tp
+    use_flat = (k > 1 or tcfg.zero1) and not use_tp and not use_cp
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -249,6 +257,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         train_fn = ts.make_tp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_cp:
+        train_fn = ts.make_cp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
     elif use_flat:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
@@ -260,7 +272,9 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     eval_steps = -(-len(bundle.test_y) // tcfg.batch_size)
     k_eval = (ts.pick_steps_per_dispatch(eval_steps)
               if jax.default_backend() == "tpu" else 1)
-    eval_fn = ts.make_eval_step(cfg, mesh, eval_preprocess, k=k_eval)
+    eval_fn = ts.make_eval_step(
+        cfg, mesh, eval_preprocess, k=k_eval,
+        apply_fn=cp.apply_cp if use_cp else None)
     eval_idx = jax.device_put(
         ts.pad_epoch_indices(
             ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),

@@ -532,18 +532,99 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1):
+def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                       preprocess, k: int = 1,
+                       guard_padded_steps: bool = True):
+    """Data-parallel × sequence-parallel (ring attention) training step over
+    the ('data', 'model') mesh — the 'model' axis carries token shards
+    (parallel/context_parallel.py). Params and optimizer state stay fully
+    REPLICATED (checkpoint/eval interop is unchanged); what differs from the
+    plain DP step is only the forward (apply_cp) and the gradient reduction:
+    every shard's grads are partial over BOTH axes (each sequence shard
+    back-propagates its own tokens' contributions), so grads psum over
+    ('data', 'model') together — one fused ICI all-reduce across the whole
+    mesh.
+
+    Same k-step fusion contract as make_tp_train_step."""
+    from vit_rpe_rope_tpu.parallel import context_parallel as cp
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+
+    guard = guard_padded_steps and k > 1
+
+    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
+                 epoch=0):
+        idx = jax.lax.dynamic_index_in_dim(
+            epoch_idx, step, axis=0, keepdims=False)
+        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
+        # Augmentation key: per (epoch, step, data shard), IDENTICAL across
+        # the sequence axis — every sequence shard must embed the SAME
+        # augmented images.
+        key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
+                step),
+            jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            loss_sum, correct = _loss_and_metrics(
+                p, imgs, labels, mask, cfg, preprocess,
+                apply_fn=cp.apply_cp, key=key)
+            return loss_sum / safe_count, correct
+
+        (local_loss, correct), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, (DATA_AXIS, MODEL_AXIS))
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        correct = jax.lax.psum(correct, DATA_AXIS)
+        updates, o_new = tx.update(grads, opt_state, params)
+        p_new = optax.apply_updates(params, updates)
+        if guard:
+            live = count > 0
+            p_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), p_new, params)
+            o_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
+        return p_new, o_new, jnp.stack([loss, correct, count])
+
+    if k == 1:
+        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+            return one_step(params, opt_state, step[0], data_x, data_y,
+                            epoch_idx, epoch=_epoch_of(step))
+    else:
+        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
+            epoch = _epoch_of(start)
+
+            def body(carry, step):
+                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
+                                   epoch=epoch)
+                return (p, o), m
+
+            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), steps)
+            return params, opt_state, metrics
+
+    return _shard_train_fn(local_step, mesh)
+
+
+def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1,
+                   apply_fn=None):
     """Returns jitted eval_step(params, step, data_x, data_y, epoch_idx) ->
     metrics [k, 3] of [loss, correct, count] for steps step..step+k-1
     (k > 1 fuses the whole slice into one dispatch via lax.scan; padded
-    steps report count 0 and loss 0 and are dropped by the caller)."""
+    steps report count 0 and loss 0 and are dropped by the caller).
+    apply_fn overrides the replicated forward (context_parallel.apply_cp for
+    sequence-parallel eval — loss/correct stay replicated across 'model', so
+    the data-axis-only reductions below are unchanged)."""
 
     def one(params, step, data_x, data_y, epoch_idx):
         idx = jax.lax.dynamic_index_in_dim(
             epoch_idx, step, axis=0, keepdims=False)
         imgs, labels, mask = _gather_batch(data_x, data_y, idx)
         loss_sum, correct = _loss_and_metrics(
-            params, imgs, labels, mask, cfg, preprocess)
+            params, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn)
         count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
         loss = jax.lax.psum(loss_sum, DATA_AXIS) / jnp.maximum(count, 1.0)
         correct = jax.lax.psum(correct, DATA_AXIS)
