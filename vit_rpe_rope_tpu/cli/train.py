@@ -96,6 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
                           "attention as a KV ring over ICI (long-sequence "
                           "memory scaling; mutually exclusive with "
                           "--model_parallel)")
+    ext.add_argument("--pipeline_parallel", type=int, default=1,
+                     help="[extension] pipeline-parallel degree: stage the "
+                          "transformer blocks over the mesh's 'model' axis "
+                          "with a GPipe microbatch schedule (must divide "
+                          "depth; mutually exclusive with --model_parallel/"
+                          "--sequence_parallel)")
+    ext.add_argument("--pp_microbatches", type=int, default=0,
+                     help="[extension] microbatches per device batch under "
+                          "--pipeline_parallel (0 = auto: the stage count)")
     ext.add_argument("--zero1", action="store_true",
                      help="[extension] ZeRO stage 1: shard the Adam moments "
                           "over the data axis (1/n_data optimizer memory per "
@@ -161,6 +170,8 @@ def main(argv=None):
         augment=args.augment,
         model_parallel=args.model_parallel,
         sequence_parallel=args.sequence_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pp_microbatches=args.pp_microbatches,
         steps_per_dispatch=args.steps_per_dispatch,
         zero1=args.zero1,
     )

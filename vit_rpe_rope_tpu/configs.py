@@ -158,6 +158,14 @@ class TrainConfig:
     # (parallel/context_parallel.py). 1 = no token sharding. Mutually
     # exclusive with model_parallel (both use the same mesh axis).
     sequence_parallel: int = 1
+    # Pipeline parallelism degree: stage the blocks over the mesh's 'model'
+    # axis with a GPipe microbatch schedule
+    # (parallel/pipeline_parallel.py). Mutually exclusive with
+    # model_parallel/sequence_parallel (same mesh axis).
+    pipeline_parallel: int = 1
+    # Microbatches per device batch under pipeline parallelism
+    # (0 = auto: the stage count — the minimum that fills the pipe).
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -168,16 +176,21 @@ class TrainConfig:
         if self.sequence_parallel < 1:
             raise ValueError(
                 f"sequence_parallel must be >= 1; got {self.sequence_parallel}")
-        if self.model_parallel > 1 and self.sequence_parallel > 1:
+        if self.pipeline_parallel < 1:
             raise ValueError(
-                "model_parallel and sequence_parallel are alternative uses "
-                "of the mesh's 'model' axis — pick one")
+                f"pipeline_parallel must be >= 1; got {self.pipeline_parallel}")
+        if sum(p > 1 for p in (self.model_parallel, self.sequence_parallel,
+                               self.pipeline_parallel)) > 1:
+            raise ValueError(
+                "model_parallel, sequence_parallel and pipeline_parallel are "
+                "alternative uses of the mesh's 'model' axis — pick one")
         if self.zero1 and (self.model_parallel > 1
-                           or self.sequence_parallel > 1):
+                           or self.sequence_parallel > 1
+                           or self.pipeline_parallel > 1):
             raise ValueError(
                 "zero1 shards the flat-vector optimizer over the data axis "
-                "and is incompatible with model_parallel/sequence_parallel "
-                "> 1 (those drivers keep dict params)")
+                "and is incompatible with model/sequence/pipeline "
+                "parallelism > 1 (those drivers keep dict params)")
 
     @property
     def in_chans(self) -> int:

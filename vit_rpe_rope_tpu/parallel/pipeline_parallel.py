@@ -1,0 +1,142 @@
+"""Pipeline parallelism: transformer blocks staged over the mesh's 'model'
+axis with a GPipe microbatch schedule.
+
+The reference is single-device (SURVEY.md §2 #20 — nothing to mirror); this
+is the depth-scaling member of the distribution layer: DP shards the batch,
+TP shards within a layer, CP shards the tokens, PP shards the LAYERS. Stage s
+owns blocks [s·depth/S, (s+1)·depth/S) as its slice of the depth-stacked
+params ("blocks.X" arrays [depth, ...] sharded on dim 0 — the stacked layout
+models/vit.py already maintains for the fused driver turns out to be exactly
+the PP sharding unit), so parameter memory per device drops by the stage
+count.
+
+Schedule (GPipe, all-forward-then-all-backward via AD through the scan): the
+per-device batch splits into M microbatches; one lax.scan over
+T = M + S - 1 ticks runs SPMD on every stage. At tick t, stage 0 embeds
+microbatch t while stage s applies its blocks to the activation received
+from stage s-1 (a non-cyclic lax.ppermute shift — one ICI neighbor hop per
+tick); the last stage collects its outputs and, after the scan, runs the
+classifier head, re-replicated by a masked partial-sum psum. Pipeline bubble
+fraction is the textbook (S-1)/(M+S-1).
+
+Gradient layout (consumed by train_step.make_pp_train_step): sharded block
+params get LOCAL grads (each stage owns its blocks — no stage-axis
+reduction); replicated params (patch embed, cls, PE tables, final norm,
+head) get PARTIAL grads — the embedding is computed redundantly on every
+stage but jnp.where routes the cotangent to stage 0 only, the head's to the
+last stage, the PE generators' to every stage that consumed them — so they
+psum over the stage axis, each contribution counted exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vit_rpe_rope_tpu import pe as pe_registry
+from vit_rpe_rope_tpu.configs import (
+    PE_KIND_EMBED_ADDITIVE,
+    PE_KIND_LOGITS_BIAS,
+    PE_KIND_QK_ROTATION,
+    ViTConfig,
+)
+from vit_rpe_rope_tpu.models.vit import (
+    BLOCK_PARAM_NAMES, _attention_impl, _block_body, _layer_norm, _linear,
+    patch_embed)
+from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, P, psum_identity_bwd
+
+
+def pp_param_specs(stacked: dict) -> dict:
+    """PartitionSpec per depth-stacked param key: "blocks.X" arrays [depth,
+    ...] shard their leading (depth) dim over the stage axis; everything else
+    is replicated."""
+    return {k: P(MODEL_AXIS) if k.startswith("blocks.") else P()
+            for k in stacked}
+
+
+def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
+             axis_name: str = MODEL_AXIS):
+    """Pipeline-parallel forward: same contract as models.vit.apply_stacked,
+    but MUST run inside shard_map with the "blocks.X" leaves sharded over
+    `axis_name` (pp_param_specs) and images sharded over 'data' only.
+
+    n_micro: microbatches per device batch (B % n_micro == 0). Dropout is
+    not supported under PP (reference effective regime is rate 0 —
+    SURVEY.md Q11); fit() rejects the combination.
+    """
+    assert not cfg.has_dropout, "pipeline parallelism does not support dropout"
+    n_stages = jax.lax.psum(1, axis_name)  # static axis size
+    my = jax.lax.axis_index(axis_name)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    impl = _attention_impl(cfg)
+
+    bsz = images.shape[0]
+    assert bsz % n_micro == 0, (bsz, n_micro)
+    mb = bsz // n_micro
+    blocks_local = stacked["blocks.norm1.weight"].shape[0]  # depth / S
+
+    # PE generators: replicated params -> identical values on every stage;
+    # computed once per forward (SURVEY.md Q5), consumed by local blocks.
+    bias = None
+    freqs_cis = None
+    if pe_mod.KIND == PE_KIND_LOGITS_BIAS:
+        bias = pe_mod.attn_bias(stacked, cfg)
+    elif pe_mod.KIND == PE_KIND_QK_ROTATION:
+        freqs_cis = pe_mod.freqs_cis(stacked, cfg)
+
+    def embed(imgs_mb):
+        x = patch_embed(stacked, imgs_mb.astype(dtype), cfg)
+        cls = jnp.broadcast_to(stacked["cls_token"].astype(dtype),
+                               (mb, 1, cfg.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
+            x = pe_mod.add_embedding(stacked, x)
+        return x
+
+    def stage_blocks(x):
+        for j in range(blocks_local):
+            block_params = {name: stacked[f"blocks.{name}"][j]
+                            for name in BLOCK_PARAM_NAMES}
+            x = _block_body(block_params, x, cfg, bias, freqs_cis, impl)
+        return x
+
+    n_tokens = cfg.seq_len
+    t_total = n_micro + n_stages - 1
+    # Non-cyclic shift: stage s sends to s+1; stage 0 receives zeros (unused —
+    # jnp.where picks the fresh embedding there).
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def tick(carry, t):
+        recv, out_buf = carry
+        # Every stage redundantly embeds microbatch min(t, M-1); only stage
+        # 0's copy is selected, so only stage 0 back-propagates into the
+        # embedding params (see module docstring).
+        m_in = jnp.clip(t, 0, n_micro - 1)
+        imgs_mb = jax.lax.dynamic_slice_in_dim(images, m_in * mb, mb, axis=0)
+        x_in = jnp.where(my == 0, embed(imgs_mb), recv)
+        y = stage_blocks(x_in)
+        # Last stage collects microbatch t-(S-1) once it has traversed every
+        # stage; earlier ticks re-write slot 0 with a discarded value.
+        m_out = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+        slot = jax.lax.dynamic_slice_in_dim(out_buf, m_out, 1, axis=0)
+        keep = (t >= n_stages - 1) & (my == n_stages - 1)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, jnp.where(keep, y[None], slot), m_out, axis=0)
+        if perm:
+            recv = jax.lax.ppermute(y, axis_name, perm)
+        return (recv, out_buf), None
+
+    init = (jnp.zeros((mb, n_tokens, cfg.embed_dim), dtype),
+            jnp.zeros((n_micro, mb, n_tokens, cfg.embed_dim), dtype))
+    (_, out_buf), _ = jax.lax.scan(
+        tick, init, jnp.arange(t_total), length=t_total)
+
+    # Classifier on the last stage's collected outputs; masked partial-sum
+    # psum re-replicates the logits across stages.
+    x = out_buf.reshape(bsz, n_tokens, cfg.embed_dim)
+    x = _layer_norm(x, stacked["norm.weight"], stacked["norm.bias"],
+                    cfg.layer_norm_eps)
+    logits = _linear(x[:, 0], stacked["head.weight"], stacked["head.bias"])
+    logits = logits * (my == n_stages - 1).astype(logits.dtype)
+    return psum_identity_bwd(logits, axis_name).astype(jnp.float32)

@@ -27,6 +27,7 @@ from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
 from vit_rpe_rope_tpu.data import datasets
 from vit_rpe_rope_tpu.models import vit
 from vit_rpe_rope_tpu.parallel import context_parallel as cp
+from vit_rpe_rope_tpu.parallel import pipeline_parallel as pp_mod
 from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
 from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P, make_mesh
 from vit_rpe_rope_tpu.train import train_step as ts
@@ -102,16 +103,29 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     bundle = datasets.get_dataset(
         tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
-    # TP and CP are alternative uses of the mesh's 'model' axis (configs.py
-    # rejects enabling both).
+    # TP, CP and PP are alternative uses of the mesh's 'model' axis
+    # (configs.py rejects enabling more than one).
     mesh = make_mesh(batch_size=tcfg.batch_size,
                      model_parallel=max(tcfg.model_parallel,
-                                        tcfg.sequence_parallel))
+                                        tcfg.sequence_parallel,
+                                        tcfg.pipeline_parallel))
     use_tp = tcfg.model_parallel > 1
     use_cp = tcfg.sequence_parallel > 1
-    if use_cp and cfg.has_dropout:
-        raise ValueError("sequence_parallel does not support dropout rates "
-                         "> 0 (context_parallel.apply_cp)")
+    use_pp = tcfg.pipeline_parallel > 1
+    if (use_cp or use_pp) and cfg.has_dropout:
+        raise ValueError("sequence_parallel/pipeline_parallel do not support "
+                         "dropout rates > 0")
+    n_micro = tcfg.pp_microbatches or tcfg.pipeline_parallel
+    if use_pp:
+        if cfg.depth % tcfg.pipeline_parallel != 0:
+            raise ValueError(
+                f"pipeline_parallel={tcfg.pipeline_parallel} must divide "
+                f"depth={cfg.depth}")
+        local_bs = tcfg.batch_size // mesh.shape[DATA_AXIS]
+        if local_bs % n_micro != 0:
+            raise ValueError(
+                f"per-device batch {local_bs} not divisible by "
+                f"pp_microbatches={n_micro}")
     if cfg.attn_drop_rate > 0 and cfg.seq_len > 2048:
         import warnings
 
@@ -156,7 +170,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # interface for eval/checkpoints. TP keeps dict params (its shardings are
     # per-key) but still fuses k steps per dispatch via lax.scan. ZeRO-1
     # rides the flat driver (it shards the flat moment vectors).
-    use_flat = (k > 1 or tcfg.zero1) and not use_tp and not use_cp
+    use_flat = ((k > 1 or tcfg.zero1)
+                and not use_tp and not use_cp and not use_pp)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -178,6 +193,20 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                            out_shardings=replicated)
         train_params = prepare_j(params)
         opt_state = jax.jit(tx.init)(train_params)  # inherits TP shardings
+    elif use_pp:
+        # Pipeline parallelism: train state is the depth-stacked dict with
+        # "blocks.X" leaves sharded over the stage axis
+        # (parallel/pipeline_parallel.py); eval/checkpoints see the reference
+        # layout via gather_j (all-gather + unstack on device).
+        pp_specs = pp_mod.pp_param_specs(vit.stack_block_params(params, cfg))
+        pp_shardings = {kk: NamedSharding(mesh, s)
+                        for kk, s in pp_specs.items()}
+        prepare_j = jax.jit(lambda p: vit.stack_block_params(p, cfg),
+                            out_shardings=pp_shardings)
+        gather_j = jax.jit(lambda p: vit.unstack_block_params(p, cfg),
+                           out_shardings=replicated)
+        train_params = prepare_j(params)
+        opt_state = jax.jit(tx.init)(train_params)  # inherits PP shardings
     elif use_flat:
         train_params = jax.device_put(flatten_j(params), replicated)
         if zero1:
@@ -205,6 +234,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         o = jax.device_get(o)
         if use_tp:
             o = tp.restore_reference_opt_state(o, cfg)
+        if use_pp:  # stacked moment dicts -> reference-keyed dicts
+            o = jax.tree_util.tree_map(
+                lambda n: vit.unstack_block_params(n, cfg)
+                if isinstance(n, dict) else n, o, is_leaf=is_dict_node)
         o = jax.tree_util.tree_map(
             lambda n: np.asarray(flatten_j(n)) if isinstance(n, dict) else n,
             o, is_leaf=is_dict_node)
@@ -236,6 +269,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
             return jax.jit(lambda oo: tp.prepare_tp_opt_state(oo, cfg),
                            out_shardings=opt_shardings)(o)
+        if use_pp:
+            o = jax.tree_util.tree_map(
+                lambda n: vit.stack_block_params(n, cfg)
+                if isinstance(n, dict) else n, o, is_leaf=is_dict_node)
+            opt_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                ts.opt_specs_like(o, pp_specs),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            return jax.device_put(o, opt_shardings)
         return jax.device_put(o, replicated)
 
     last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
@@ -245,7 +287,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             checkpoint.load_train_state(last_path, opt_to_disk(opt_state))
         params = jax.device_put(params, replicated)
         opt_state = opt_from_disk(opt_loaded)
-        if use_tp:
+        if use_tp or use_pp:
             train_params = prepare_j(params)
         else:
             train_params = flatten_j(params) if use_flat else params
@@ -260,6 +302,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     elif use_cp:
         train_fn = ts.make_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_pp:
+        train_fn = ts.make_pp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0))
     elif use_flat:
         train_fn = ts.make_flat_train_multi_step(
@@ -300,7 +346,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
                            train_y, epoch_idx, "Training", True, k=k,
                            epoch=epoch)
-            if use_tp:
+            if use_tp or use_pp:
                 params = gather_j(train_params)
             else:
                 params = unflatten_j(train_params) if use_flat else train_params

@@ -609,6 +609,101 @@ def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     return _shard_train_fn(local_step, mesh)
 
 
+def make_pp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                       preprocess, n_micro: int, k: int = 1,
+                       guard_padded_steps: bool = True):
+    """Data-parallel × pipeline-parallel training step over the
+    ('data', 'model') mesh — the 'model' axis carries pipeline STAGES
+    (parallel/pipeline_parallel.py). Params are the depth-stacked dict
+    (models.vit.stack_block_params) with "blocks.X" leaves sharded over the
+    stage axis (pp_param_specs); the optimizer state mirrors them
+    (opt_specs_like), so per-device parameter + Adam memory for the blocks
+    drops by the stage count.
+
+    Gradient synchronization: everything psums over 'data'; replicated-use
+    params (patch embed, cls, PE tables, final norm, head) additionally psum
+    over the stage axis (their per-stage grads are partial — see
+    pipeline_parallel's module docstring); sharded block params stay local
+    to their stage.
+
+    Same k-step fusion contract as make_tp_train_step."""
+    from vit_rpe_rope_tpu.parallel import pipeline_parallel as pp
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+
+    guard = guard_padded_steps and k > 1
+
+    def apply_fn(p, x, c):
+        return pp.apply_pp(p, x, c, n_micro=n_micro)
+
+    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
+                 epoch=0):
+        idx = jax.lax.dynamic_index_in_dim(
+            epoch_idx, step, axis=0, keepdims=False)
+        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
+        # Augmentation key: identical across the stage axis (every stage
+        # must embed the SAME augmented images).
+        key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
+                step),
+            jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            loss_sum, correct = _loss_and_metrics(
+                p, imgs, labels, mask, cfg, preprocess,
+                apply_fn=apply_fn, key=key)
+            return loss_sum / safe_count, correct
+
+        (local_loss, correct), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        grads = {kk: (g if kk.startswith("blocks.")
+                      else jax.lax.psum(g, MODEL_AXIS))
+                 for kk, g in grads.items()}
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        correct = jax.lax.psum(correct, DATA_AXIS)
+        updates, o_new = tx.update(grads, opt_state, params)
+        p_new = optax.apply_updates(params, updates)
+        if guard:
+            live = count > 0
+            p_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), p_new, params)
+            o_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
+        return p_new, o_new, jnp.stack([loss, correct, count])
+
+    if k == 1:
+        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+            return one_step(params, opt_state, step[0], data_x, data_y,
+                            epoch_idx, epoch=_epoch_of(step))
+    else:
+        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
+            epoch = _epoch_of(start)
+
+            def body(carry, step):
+                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
+                                   epoch=epoch)
+                return (p, o), m
+
+            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), steps)
+            return params, opt_state, metrics
+
+    proto = vit.stack_block_params(
+        vit.init_params(jax.random.PRNGKey(0), cfg), cfg)
+    param_specs = pp.pp_param_specs(proto)
+    opt_specs = opt_specs_like(tx.init(proto), param_specs)
+    sharded = shard_map(
+        local_step, mesh,
+        in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(param_specs, opt_specs, P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1,
                    apply_fn=None):
     """Returns jitted eval_step(params, step, data_x, data_y, epoch_idx) ->
