@@ -141,9 +141,11 @@ def main():
         rows = []
         for name, kw in (("headline", {}), ("stretch", STRETCH_KW)):
             for dtype in ("float32", "bfloat16"):
-                for remat in ((False, True) if name == "stretch"
-                              else (False,)):
-                    r = measure(compute_dtype=dtype, remat=remat, **kw)
+                for remat in (("off", "full", "dots") if name == "stretch"
+                              else ("off",)):
+                    r = measure(compute_dtype=dtype, remat=remat != "off",
+                                remat_policy=remat if remat != "off"
+                                else "full", **kw)
                     row = dict(config=name, compute_dtype=dtype, remat=remat,
                                **{k_: round(v, 4) for k_, v in r.items()})
                     rows.append(row)

@@ -144,12 +144,16 @@ def test_apply_stacked_matches_apply(pe_name):
                                       np.asarray(params[k]))
 
 
-def test_remat_same_values_and_grads():
-    """jax.checkpoint over blocks must not change outputs or gradients."""
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_same_values_and_grads(policy):
+    """jax.checkpoint over blocks must not change outputs or gradients —
+    for the full-recompute policy and the selective dots policy (save matmul
+    outputs, recompute elementwise)."""
     base = make_cfg("rope-axial", img_size=16, embed_dim=96, depth=2,
                     num_heads=4, in_chans=1)
     remat = make_cfg("rope-axial", img_size=16, embed_dim=96, depth=2,
-                     num_heads=4, in_chans=1, remat=True)
+                     num_heads=4, in_chans=1, remat=True,
+                     remat_policy=policy)
     params = vit.init_params(jax.random.PRNGKey(0), base)
     stacked = vit.stack_block_params(params, base)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))

@@ -533,3 +533,91 @@ def test_resume_across_drivers(tmp_path):
              verbose=False)
     assert len(s3["history"]) == 1 and s3["history"][0]["epoch"] == 3
     assert s3["best_acc"] >= s2["best_acc"] - 5.0  # trajectory continues
+
+
+def test_grad_accum_matches_large_batch():
+    """accum=2 over two bs-8 rows must produce the same optimizer step as one
+    bs-16 row on the SAME 16 examples (normalization by the total real count
+    makes the accumulated update bit-comparable)."""
+    import optax
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=32, n_test=8, seed=5)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.05)
+    params0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(num_devices=1)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    order = np.arange(32, dtype=np.int32)
+
+    # Reference: two bs-16 steps.
+    p1 = jax.device_put(params0, rep)
+    o1 = jax.device_put(tx.init(params0), rep)
+    fn16 = ts.make_train_step(cfg, TrainConfig(dataset="mnist", batch_size=16,
+                                               epochs=2), mesh, tx, pre)
+    ei16 = jax.device_put(order.reshape(2, 16), idx_sh)
+    losses16 = []
+    for s in range(2):
+        p1, o1, m = fn16(p1, o1, jnp.asarray([s], jnp.int32), dx, dy, ei16)
+        m = np.asarray(m)
+        losses16.append(float(m[0]))
+        assert m[2] == 16
+    # Accumulated: four bs-8 rows, accum=2 (row starts 0 and 2).
+    p2 = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    o2 = jax.device_put(tx.init(params0), rep)
+    fn8 = ts.make_train_step(cfg, tcfg, mesh, tx, pre, accum=2)
+    ei8 = jax.device_put(order.reshape(4, 8), idx_sh)
+    losses8 = []
+    for s in (0, 2):
+        p2, o2, m = fn8(p2, o2, jnp.asarray([s], jnp.int32), dx, dy, ei8)
+        m = np.asarray(m)
+        losses8.append(float(m[0]))
+        assert m[2] == 16  # count = total REAL examples across the group
+    np.testing.assert_allclose(losses8, losses16, rtol=1e-6)
+    g1, g2 = jax.device_get(p1), jax.device_get(p2)
+    for kk in g1:
+        np.testing.assert_allclose(np.asarray(g2[kk]), np.asarray(g1[kk]),
+                                   rtol=1e-5, atol=1e-7, err_msg=kk)
+
+
+def test_grad_accum_partial_group_masks_padding():
+    """An accumulation group whose second row is all padding (-1) must count
+    only the real examples and still take a finite step."""
+    import optax
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=2)
+    bundle = datasets.synthetic("mnist", n_train=12, n_test=8, seed=6)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.05)
+    mesh = make_mesh(num_devices=1)
+    rep = NamedSharding(mesh, P())
+    p = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    o = jax.device_put(tx.init(jax.device_get(p)), rep)
+    fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre, accum=2)
+    ei = ts.pad_epoch_indices(
+        ts.epoch_indices(jax.random.PRNGKey(0), 12, 8, False), 2)
+    assert ei.shape == (2, 8) and (np.asarray(ei)[1] == -1).sum() == 4
+    ei = jax.device_put(ei, NamedSharding(mesh, P(None, DATA_AXIS)))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    p, o, m = fn(p, o, jnp.asarray([0], jnp.int32), dx, dy, ei)
+    m = np.asarray(m)
+    assert m[2] == 12 and np.isfinite(m[0])
+
+
+def test_fit_with_grad_accum(tmp_path):
+    """fit() with grad_accum=2: trains through the flat fused driver (rows
+    strided by k*accum), logs per-optimizer-step metrics, checkpoints."""
+    cfg = small_cfg()
+    tcfg = TrainConfig(dataset="mnist", batch_size=16, epochs=1,
+                       synthetic_data=True, grad_accum=2,
+                       log_dir=str(tmp_path / "logs"),
+                       ckpt_dir=str(tmp_path / "ckpts"))
+    summary = fit(cfg, tcfg, verbose=False)
+    assert summary["best_acc"] > 15.0
+    assert os.path.exists(f"{tmp_path}/ckpts/mnist_rope-axial_best.npz")

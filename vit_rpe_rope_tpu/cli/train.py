@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--compute_dtype", type=str, default="float32",
                      choices=["float32", "bfloat16"],
                      help="[extension] activation compute dtype")
+    ext.add_argument("--remat", action="store_true",
+                     help="[extension] rematerialize blocks in the backward "
+                          "pass (O(depth) less activation memory)")
+    ext.add_argument("--remat_policy", type=str, default="full",
+                     choices=["full", "dots"],
+                     help="[extension] remat selectivity: full recompute, or "
+                          "dots (save matmul outputs, recompute elementwise)")
     ext.add_argument("--rope_mixed_compat_scramble", action="store_true",
                      help="[extension] reproduce the reference RoPE-Mixed "
                           "(head,position) memory-scramble (SURVEY.md Q1) for "
@@ -105,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--pp_microbatches", type=int, default=0,
                      help="[extension] microbatches per device batch under "
                           "--pipeline_parallel (0 = auto: the stage count)")
+    ext.add_argument("--grad_accum", type=int, default=1,
+                     help="[extension] gradient accumulation: batches summed "
+                          "per optimizer step (effective batch = batch_size "
+                          "x grad_accum at one batch of activation memory)")
     ext.add_argument("--zero1", action="store_true",
                      help="[extension] ZeRO stage 1: shard the Adam moments "
                           "over the data axis (1/n_data optimizer memory per "
@@ -149,6 +160,8 @@ def main(argv=None):
         rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
         attention_impl=args.attention_impl,
         compute_dtype=args.compute_dtype,
+        remat=args.remat,
+        remat_policy=args.remat_policy,
         drop_rate=args.drop_rate,
         attn_drop_rate=args.attn_drop_rate,
         drop_path_rate=args.drop_path_rate,
@@ -172,6 +185,7 @@ def main(argv=None):
         sequence_parallel=args.sequence_parallel,
         pipeline_parallel=args.pipeline_parallel,
         pp_microbatches=args.pp_microbatches,
+        grad_accum=args.grad_accum,
         steps_per_dispatch=args.steps_per_dispatch,
         zero1=args.zero1,
     )

@@ -68,6 +68,11 @@ class ViTConfig:
     # trades ~1 extra forward of FLOPs for O(depth) less activation memory
     # — for scaling past HBM limits (ViT-S @224 and beyond).
     remat: bool = False
+    # Remat selectivity: "full" recomputes the whole block; "dots" saves
+    # matmul outputs and recomputes only elementwise/LN work
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — most of
+    # full remat's memory saving at a fraction of its recompute cost.
+    remat_policy: str = "full"
 
     def __post_init__(self):
         if self.pos_encoding not in PE_CHOICES:
@@ -86,6 +91,10 @@ class ViTConfig:
                     "RoPE variants require head_dim divisible by 4; got "
                     f"head_dim={self.head_dim}"
                 )
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(
+                f"remat_policy must be 'full' or 'dots'; got "
+                f"{self.remat_policy!r}")
         for name in ("drop_rate", "attn_drop_rate", "drop_path_rate"):
             rate = getattr(self, name)
             if not 0.0 <= rate < 1.0:
@@ -166,6 +175,11 @@ class TrainConfig:
     # Microbatches per device batch under pipeline parallelism
     # (0 = auto: the stage count — the minimum that fills the pipe).
     pp_microbatches: int = 0
+    # Gradient accumulation: each optimizer step accumulates this many
+    # consecutive batches (effective batch = batch_size × grad_accum) with
+    # per-microbatch fwd+bwd, so activation memory stays one batch. The
+    # update is bit-comparable to one step on the concatenated batch.
+    grad_accum: int = 1
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -179,6 +193,9 @@ class TrainConfig:
         if self.pipeline_parallel < 1:
             raise ValueError(
                 f"pipeline_parallel must be >= 1; got {self.pipeline_parallel}")
+        if self.grad_accum < 1:
+            raise ValueError(
+                f"grad_accum must be >= 1; got {self.grad_accum}")
         if sum(p > 1 for p in (self.model_parallel, self.sequence_parallel,
                                self.pipeline_parallel)) > 1:
             raise ValueError(

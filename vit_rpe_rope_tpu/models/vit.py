@@ -190,10 +190,17 @@ def _drop_path(x, rate, key):
 
 def _block(params, prefix, x, cfg, bias, freqs_cis, impl, rng=None):
     """Pre-LN transformer block (/root/reference/models/vit.py:100-129) on
-    prefix-keyed flat params; delegates to _block_body."""
+    prefix-keyed flat params; delegates to _block_body (rematerialized per
+    cfg.remat/remat_policy, same as apply_stacked)."""
     block_params = {name: params[f"{prefix}.{name}"]
                     for name in BLOCK_PARAM_NAMES}
-    return _block_body(block_params, x, cfg, bias, freqs_cis, impl, rng)
+    block_fn = _block_body
+    if cfg.remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
+        block_fn = jax.checkpoint(_block_body, static_argnums=(2, 5),
+                                  policy=policy)
+    return block_fn(block_params, x, cfg, bias, freqs_cis, impl, rng)
 
 
 # ---------------------------------------------------------------------------
@@ -313,8 +320,14 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig, rng=None):
     if cfg.remat:
         # Recompute each block in the backward pass: O(depth) less activation
         # memory for one extra forward — scaling knob for big models.
+        # remat_policy="dots" keeps matmul outputs resident and recomputes
+        # only the cheap elementwise/LN work (measured much closer to the
+        # no-remat step time; see docs/bench_matrix.json).
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
         block_fn = jax.checkpoint(
-            functools.partial(_block_body), static_argnums=(2, 5))
+            functools.partial(_block_body), static_argnums=(2, 5),
+            policy=policy)
     for i in range(cfg.depth):
         block_params = {name: stacked[f"blocks.{name}"][i]
                         for name in BLOCK_PARAM_NAMES}

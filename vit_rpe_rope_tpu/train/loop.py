@@ -145,7 +145,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     test_x = jax.device_put(bundle.test_x, replicated)
     test_y = jax.device_put(bundle.test_y, replicated)
 
-    steps_per_epoch = -(-len(bundle.train_y) // tcfg.batch_size)
+    # Index ROWS per epoch (one row = one batch of batch_size examples);
+    # grad_accum > 1 folds `accum` consecutive rows into one optimizer step.
+    accum = tcfg.grad_accum
+    if accum > 1 and (use_tp or use_cp or use_pp):
+        raise ValueError("grad_accum > 1 is supported on the data-parallel "
+                         "drivers only (not with model/sequence/pipeline "
+                         "parallelism)")
+    rows_per_epoch = -(-len(bundle.train_y) // tcfg.batch_size)
+    steps_per_epoch = -(-rows_per_epoch // accum)  # optimizer steps
     preprocess = ts.make_preprocess(
         cfg, bundle.mean, bundle.std, bundle.train_x.shape[1],
         augment=tcfg.augment)
@@ -164,13 +172,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         k = (ts.pick_steps_per_dispatch(steps_per_epoch)
              if jax.default_backend() == "tpu" else 1)
     k = max(1, min(k, steps_per_epoch))
+    stride = k * accum  # index rows consumed per dispatch
     # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
     # contiguous optimizer update, lax.scan over blocks — ~100 per-leaf
     # kernels collapse to a handful); the reference-keyed dict stays the
     # interface for eval/checkpoints. TP keeps dict params (its shardings are
     # per-key) but still fuses k steps per dispatch via lax.scan. ZeRO-1
     # rides the flat driver (it shards the flat moment vectors).
-    use_flat = ((k > 1 or tcfg.zero1)
+    use_flat = ((k > 1 or tcfg.zero1 or accum > 1)
                 and not use_tp and not use_cp and not use_pp)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
@@ -312,9 +321,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
             apply_fn=vit.apply_stacked,
             guard_padded_steps=(steps_per_epoch % k != 0),
-            zero1=zero1)
+            zero1=zero1, accum=accum)
     else:
-        train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess)
+        train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess,
+                                      accum=accum)
     eval_steps = -(-len(bundle.test_y) // tcfg.batch_size)
     k_eval = (ts.pick_steps_per_dispatch(eval_steps)
               if jax.default_backend() == "tpu" else 1)
@@ -341,10 +351,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 jax.random.fold_in(key, epoch), len(bundle.train_y),
                 tcfg.batch_size, True)
             epoch_idx = jax.device_put(
-                ts.pad_epoch_indices(epoch_idx, k), idx_sharding)
+                ts.pad_epoch_indices(epoch_idx, stride), idx_sharding)
             (train_params, opt_state), train_loss, train_acc, train_ips = \
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
-                           train_y, epoch_idx, "Training", True, k=k,
+                           train_y, epoch_idx, "Training", True, k=stride,
                            epoch=epoch)
             if use_tp or use_pp:
                 params = gather_j(train_params)

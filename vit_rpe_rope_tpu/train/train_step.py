@@ -124,7 +124,7 @@ def _epoch_of(step_vec):
 
 
 def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
-             apply_fn, guard, seed=0, update_fn=None, epoch=0):
+             apply_fn, guard, seed=0, update_fn=None, epoch=0, accum=1):
     """One data-parallel optimizer step (runs inside shard_map). Shared by
     the per-step, fused-multi-step, and flat-vector drivers.
 
@@ -135,33 +135,66 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     update_fn(grads, opt_state, params) -> (new_params, new_opt_state)
     overrides the plain tx.update/apply_updates pair (ZeRO-1 sharded
     optimizer).
-    """
-    idx = jax.lax.dynamic_index_in_dim(epoch_idx, step, axis=0,
-                                       keepdims=False)  # [local_bs]
-    imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-    # Global real-example count (constant w.r.t. params).
-    count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-    safe_count = jnp.maximum(count, 1.0)
-    # Per-(epoch, step, shard) key for augmentation and dropout (dead code
-    # eliminated by XLA when neither is enabled). The epoch fold matters:
-    # without it the same masks/crops would recur at step s of EVERY epoch.
-    key = jax.random.fold_in(
-        jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(seed), epoch), step),
-        jax.lax.axis_index(DATA_AXIS))
 
-    def loss_fn(pp):
+    accum > 1 = gradient accumulation: this optimizer step consumes the
+    `accum` consecutive index rows step..step+accum-1, running forward AND
+    backward per micro-row inside a lax.scan (activation memory stays one
+    microbatch) and summing raw gradients; the final normalization by the
+    total real-example count makes the update bit-comparable to a single
+    step on the concatenated batch (augmentation keys differ per row).
+    """
+    def micro(pp, row):
+        idx = jax.lax.dynamic_index_in_dim(epoch_idx, row, axis=0,
+                                           keepdims=False)  # [local_bs]
+        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        # Per-(epoch, row, shard) key for augmentation and dropout (dead code
+        # eliminated by XLA when neither is enabled). The epoch fold matters:
+        # without it the same masks/crops would recur at step s of EVERY
+        # epoch.
+        key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed), epoch), row),
+            jax.lax.axis_index(DATA_AXIS))
         loss_sum, correct = _loss_and_metrics(
             pp, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn,
             key=key)
-        # Local share of the GLOBAL batch-mean loss; psum'ing its grads
-        # below yields exactly the full-batch gradient.
-        return loss_sum / safe_count, correct
+        return loss_sum, (correct, jnp.sum(mask))
 
-    (local_loss, correct), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(p)
-    grads = jax.lax.psum(grads, DATA_AXIS)  # ICI all-reduce
-    loss = jax.lax.psum(local_loss, DATA_AXIS)
+    if accum == 1:
+        # Global real-example count (constant w.r.t. params).
+        m0 = (jax.lax.dynamic_index_in_dim(epoch_idx, step, axis=0,
+                                           keepdims=False) >= 0)
+        count = jax.lax.psum(jnp.sum(m0.astype(jnp.float32)), DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
+
+        def loss_fn(pp):
+            loss_sum, aux = micro(pp, step)
+            # Local share of the GLOBAL batch-mean loss; psum'ing its grads
+            # below yields exactly the full-batch gradient.
+            return loss_sum / safe_count, aux
+
+        (local_loss, (correct, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        grads = jax.lax.psum(grads, DATA_AXIS)  # ICI all-reduce
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+    else:
+        grad_fn = jax.value_and_grad(micro, has_aux=True)
+
+        def body(carry, a):
+            g_acc, l_acc, c_acc, m_acc = carry
+            (ls, (cor, ms)), g = grad_fn(p, step + a)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            return (g_acc, l_acc + ls, c_acc + cor, m_acc + ms), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, x.dtype), p)
+        (grads, loss_sum, correct, msum), _ = jax.lax.scan(
+            body, (zeros, 0.0, 0.0, 0.0), jnp.arange(accum))
+        count = jax.lax.psum(msum, DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, DATA_AXIS) / safe_count, grads)
+        loss = jax.lax.psum(loss_sum, DATA_AXIS) / safe_count
     correct = jax.lax.psum(correct, DATA_AXIS)
     if update_fn is not None:
         p_new, o_new = update_fn(grads, o, p)
@@ -190,27 +223,33 @@ def _shard_train_fn(local_fn, mesh, opt_spec=None):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess):
+def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess,
+                    accum: int = 1):
     """Returns jitted train_step(params, opt_state, step, data_x, data_y,
-    epoch_idx) -> (params, opt_state, metrics[loss, correct, count])."""
+    epoch_idx) -> (params, opt_state, metrics[loss, correct, count]).
+    `step[0]` is an index ROW; accum > 1 consumes rows step..step+accum-1
+    as one accumulated optimizer step (see _dp_step)."""
 
     def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
         return _dp_step(params, opt_state, step[0], data_x, data_y, epoch_idx,
                         cfg=cfg, preprocess=preprocess, tx=tx, apply_fn=None,
-                        guard=False, seed=tcfg.seed, epoch=_epoch_of(step))
+                        guard=False, seed=tcfg.seed, epoch=_epoch_of(step),
+                        accum=accum)
 
     return _shard_train_fn(local_step, mesh)
 
 
 def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
-                          preprocess, k: int):
+                          preprocess, k: int, accum: int = 1):
     """K train steps fused into ONE dispatch via lax.scan inside shard_map —
     removes per-step host dispatch overhead (significant when the device sits
     behind a network tunnel; measured ~0.9 ms/step on this setup).
 
     Returns jitted fn(params, opt_state, start, data_x, data_y, epoch_idx) ->
     (params, opt_state, metrics [K, 3]). Fully-padded steps are guarded
-    no-ops (see _dp_step)."""
+    no-ops (see _dp_step). accum > 1 = each of the K optimizer steps
+    accumulates `accum` consecutive index rows (start[0] is a row index;
+    one dispatch spans k·accum rows)."""
 
     def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
         epoch = _epoch_of(start)
@@ -219,10 +258,10 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
                                apply_fn=None, guard=True, seed=tcfg.seed,
-                               epoch=epoch)
+                               epoch=epoch, accum=accum)
             return (p, o), m
 
-        steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+        steps = start[0] + jnp.arange(k, dtype=jnp.int32) * accum
         (params, opt_state), metrics = jax.lax.scan(
             body, (params, opt_state), steps)
         return params, opt_state, metrics
@@ -296,7 +335,7 @@ def init_zero1_opt_state(tx, flattener, mesh):
 def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                preprocess, k: int, flattener, apply_fn=None,
                                guard_padded_steps: bool = True,
-                               zero1: bool = False):
+                               zero1: bool = False, accum: int = 1):
     """make_train_multi_step on a FLAT parameter vector: the model unflattens
     inside the loss, gradients come back as one contiguous array, and the
     optimizer runs as a few large fused elementwise ops instead of hundreds
@@ -341,10 +380,10 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                apply_fn=flat_apply,
                                guard=guard_padded_steps, seed=tcfg.seed,
                                update_fn=zero1_update if zero1 else None,
-                               epoch=epoch)
+                               epoch=epoch, accum=accum)
             return (p, o), m
 
-        steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+        steps = start[0] + jnp.arange(k, dtype=jnp.int32) * accum
         (flat, opt_state), metrics = jax.lax.scan(
             body, (flat, opt_state), steps)
         return flat, opt_state, metrics
