@@ -213,9 +213,15 @@ def apply_cp(params, images, cfg: ViTConfig, axis_name: str = MODEL_AXIS):
             jax.lax.dynamic_slice_in_dim(cos, my * nl, nl, axis=1),
             jax.lax.dynamic_slice_in_dim(sin, my * nl, nl, axis=1))
 
+    block_fn = _cp_block
+    if cfg.remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
+        block_fn = jax.checkpoint(_cp_block, static_argnums=(1, 3, 6, 7),
+                                  policy=policy)
     for i in range(cfg.depth):
-        x = _cp_block(params, f"blocks.{i}", x, cfg, local_bias, local_freqs,
-                      axis_name, n_valid=n)
+        x = block_fn(params, f"blocks.{i}", x, cfg, local_bias, local_freqs,
+                     axis_name, n)
     x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
                     cfg.layer_norm_eps)
     # cls = global token 0 = local row 0 of shard 0; other shards contribute

@@ -94,11 +94,18 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
             x = pe_mod.add_embedding(stacked, x)
         return x
 
+    block_fn = _block_body
+    if cfg.remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
+        block_fn = jax.checkpoint(_block_body, static_argnums=(2, 5),
+                                  policy=policy)
+
     def stage_blocks(x):
         for j in range(blocks_local):
             block_params = {name: stacked[f"blocks.{name}"][j]
                             for name in BLOCK_PARAM_NAMES}
-            x = _block_body(block_params, x, cfg, bias, freqs_cis, impl)
+            x = block_fn(block_params, x, cfg, bias, freqs_cis, impl)
         return x
 
     n_tokens = cfg.seq_len
