@@ -196,6 +196,10 @@ class TrainConfig:
         if self.grad_accum < 1:
             raise ValueError(
                 f"grad_accum must be >= 1; got {self.grad_accum}")
+        if self.pp_microbatches < 0:
+            raise ValueError(
+                f"pp_microbatches must be >= 0 (0 = auto); got "
+                f"{self.pp_microbatches}")
         if sum(p > 1 for p in (self.model_parallel, self.sequence_parallel,
                                self.pipeline_parallel)) > 1:
             raise ValueError(

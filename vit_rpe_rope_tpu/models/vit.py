@@ -21,8 +21,6 @@ Inputs are NHWC (TPU-native layout); the data pipeline produces NHWC.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -171,6 +169,19 @@ def _attention_impl(cfg: ViTConfig) -> str:
     return impl
 
 
+def remat_block_fn(cfg: ViTConfig, fn, static_argnums):
+    """`fn` wrapped in jax.checkpoint per cfg.remat / cfg.remat_policy
+    (identity when remat is off) — the single home of the policy mapping,
+    shared by the plain, stacked, TP, CP and PP forwards. "dots" saves matmul
+    outputs and recomputes only elementwise/LN work (measured: recovers over
+    half of full remat's step-time penalty in bf16; see VALIDATION.md)."""
+    if not cfg.remat:
+        return fn
+    policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+              if cfg.remat_policy == "dots" else None)
+    return jax.checkpoint(fn, static_argnums=static_argnums, policy=policy)
+
+
 def _dropout(x, rate, key):
     """Inverted dropout, torch nn.Dropout train-mode semantics (keep-scaled)."""
     keep = 1.0 - rate
@@ -194,12 +205,7 @@ def _block(params, prefix, x, cfg, bias, freqs_cis, impl, rng=None):
     cfg.remat/remat_policy, same as apply_stacked)."""
     block_params = {name: params[f"{prefix}.{name}"]
                     for name in BLOCK_PARAM_NAMES}
-    block_fn = _block_body
-    if cfg.remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if cfg.remat_policy == "dots" else None)
-        block_fn = jax.checkpoint(_block_body, static_argnums=(2, 5),
-                                  policy=policy)
+    block_fn = remat_block_fn(cfg, _block_body, static_argnums=(2, 5))
     return block_fn(block_params, x, cfg, bias, freqs_cis, impl, rng)
 
 
@@ -316,18 +322,9 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig, rng=None):
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 
     impl = _attention_impl(cfg)
-    block_fn = _block_body
-    if cfg.remat:
-        # Recompute each block in the backward pass: O(depth) less activation
-        # memory for one extra forward — scaling knob for big models.
-        # remat_policy="dots" keeps matmul outputs resident and recomputes
-        # only the cheap elementwise/LN work (measured much closer to the
-        # no-remat step time; see docs/bench_matrix.json).
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if cfg.remat_policy == "dots" else None)
-        block_fn = jax.checkpoint(
-            functools.partial(_block_body), static_argnums=(2, 5),
-            policy=policy)
+    # Recompute blocks in the backward pass per cfg.remat: O(depth) less
+    # activation memory for one extra forward — scaling knob for big models.
+    block_fn = remat_block_fn(cfg, _block_body, static_argnums=(2, 5))
     for i in range(cfg.depth):
         block_params = {name: stacked[f"blocks.{name}"][i]
                         for name in BLOCK_PARAM_NAMES}

@@ -46,7 +46,8 @@ from vit_rpe_rope_tpu.configs import (
     PE_KIND_QK_ROTATION,
     ViTConfig,
 )
-from vit_rpe_rope_tpu.models.vit import _layer_norm, _linear, patch_embed
+from vit_rpe_rope_tpu.models.vit import (
+    _layer_norm, _linear, patch_embed, remat_block_fn)
 from vit_rpe_rope_tpu.ops.flash_attention import _pad_seq, _prep_freqs
 from vit_rpe_rope_tpu.ops.rotary import rotate_half_split
 from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, psum_identity_bwd
@@ -213,12 +214,7 @@ def apply_cp(params, images, cfg: ViTConfig, axis_name: str = MODEL_AXIS):
             jax.lax.dynamic_slice_in_dim(cos, my * nl, nl, axis=1),
             jax.lax.dynamic_slice_in_dim(sin, my * nl, nl, axis=1))
 
-    block_fn = _cp_block
-    if cfg.remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if cfg.remat_policy == "dots" else None)
-        block_fn = jax.checkpoint(_cp_block, static_argnums=(1, 3, 6, 7),
-                                  policy=policy)
+    block_fn = remat_block_fn(cfg, _cp_block, static_argnums=(1, 3, 6, 7))
     for i in range(cfg.depth):
         x = block_fn(params, f"blocks.{i}", x, cfg, local_bias, local_freqs,
                      axis_name, n)

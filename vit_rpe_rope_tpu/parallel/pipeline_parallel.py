@@ -42,7 +42,7 @@ from vit_rpe_rope_tpu.configs import (
 )
 from vit_rpe_rope_tpu.models.vit import (
     BLOCK_PARAM_NAMES, _attention_impl, _block_body, _layer_norm, _linear,
-    patch_embed)
+    patch_embed, remat_block_fn)
 from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, P, psum_identity_bwd
 
 
@@ -85,21 +85,18 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 
-    def embed(imgs_mb):
-        x = patch_embed(stacked, imgs_mb.astype(dtype), cfg)
-        cls = jnp.broadcast_to(stacked["cls_token"].astype(dtype),
-                               (mb, 1, cfg.embed_dim))
-        x = jnp.concatenate([cls, x], axis=1)
-        if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
-            x = pe_mod.add_embedding(stacked, x)
-        return x
+    # The full-batch embedding runs ONCE per device, outside the tick scan
+    # (every stage redundantly — O(N·E), negligible); ticks dynamic-slice
+    # their microbatch from it. Only stage 0's slice is selected below, so
+    # only stage 0 back-propagates into the embedding params.
+    x_emb = patch_embed(stacked, images.astype(dtype), cfg)
+    cls = jnp.broadcast_to(stacked["cls_token"].astype(dtype),
+                           (bsz, 1, cfg.embed_dim))
+    x_emb = jnp.concatenate([cls, x_emb], axis=1)
+    if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
+        x_emb = pe_mod.add_embedding(stacked, x_emb)
 
-    block_fn = _block_body
-    if cfg.remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if cfg.remat_policy == "dots" else None)
-        block_fn = jax.checkpoint(_block_body, static_argnums=(2, 5),
-                                  policy=policy)
+    block_fn = remat_block_fn(cfg, _block_body, static_argnums=(2, 5))
 
     def stage_blocks(x):
         for j in range(blocks_local):
@@ -116,12 +113,12 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
 
     def tick(carry, t):
         recv, out_buf = carry
-        # Every stage redundantly embeds microbatch min(t, M-1); only stage
-        # 0's copy is selected, so only stage 0 back-propagates into the
-        # embedding params (see module docstring).
+        # Microbatch entering stage 0 this tick (clipped re-reads during
+        # warm-down ticks produce outputs that fall outside the last stage's
+        # keep window — zero cotangent, no double-counting).
         m_in = jnp.clip(t, 0, n_micro - 1)
-        imgs_mb = jax.lax.dynamic_slice_in_dim(images, m_in * mb, mb, axis=0)
-        x_in = jnp.where(my == 0, embed(imgs_mb), recv)
+        emb_t = jax.lax.dynamic_slice_in_dim(x_emb, m_in * mb, mb, axis=0)
+        x_in = jnp.where(my == 0, emb_t, recv)
         y = stage_blocks(x_in)
         # Last stage collects microbatch t-(S-1) once it has traversed every
         # stage; earlier ticks re-write slot 0 with a discarded value.

@@ -33,7 +33,8 @@ from vit_rpe_rope_tpu.configs import (
     ViTConfig,
 )
 from vit_rpe_rope_tpu.models.vit import (
-    _attention_impl, _drop_path, _dropout, _layer_norm, _linear, patch_embed)
+    _attention_impl, _drop_path, _dropout, _layer_norm, _linear, patch_embed,
+    remat_block_fn)
 from vit_rpe_rope_tpu.ops import flash_attention, reference_attention
 from vit_rpe_rope_tpu.parallel.mesh import (
     MODEL_AXIS, P, identity_fwd_psum_bwd, psum_identity_bwd)
@@ -217,10 +218,13 @@ def apply_tp(params: dict, images, cfg: ViTConfig, rng=None):
         freqs_cis = pe_mod.freqs_cis(params, cfg)
 
     impl = _attention_impl(cfg)
+    # Remat per cfg.remat/remat_policy (replays the block's two activation
+    # psums in the backward — deterministic, just extra ICI traffic).
+    block_fn = remat_block_fn(cfg, _tp_block, static_argnums=(1, 3, 6, 7))
     for i in range(cfg.depth):
         block_rng = None if rng is None else jax.random.fold_in(rng, i)
-        x = _tp_block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
-                      tp=True, rng=block_rng)
+        x = block_fn(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
+                     True, block_rng)
     x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], params["head.weight"], params["head.bias"])

@@ -469,6 +469,83 @@ def opt_specs_like(opt_state, param_specs):
     return jax.tree_util.tree_map_with_path(spec_for, opt_state)
 
 
+def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                                preprocess, apply_fn, reduce_grads,
+                                proto_params, param_specs, k: int,
+                                guard_padded_steps: bool):
+    """Shared skeleton of the model-axis drivers (TP / CP / PP): one DP×axis
+    optimizer step with the augment/dropout key replicated across the second
+    mesh axis (activations there must stay consistent), loss/metric psums
+    over 'data', and a strategy-specific `reduce_grads(grads) -> grads`
+    (this is the ONLY point where TP, CP and PP differ besides the forward).
+    k-step fusion and padded-step guarding follow make_train_multi_step;
+    params/optimizer are placed per `param_specs` / opt_specs_like."""
+    guard = guard_padded_steps and k > 1
+
+    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
+                 epoch=0):
+        idx = jax.lax.dynamic_index_in_dim(
+            epoch_idx, step, axis=0, keepdims=False)
+        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        safe_count = jnp.maximum(count, 1.0)
+        key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
+                step),
+            jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            loss_sum, correct = _loss_and_metrics(
+                p, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn,
+                key=key)
+            return loss_sum / safe_count, correct
+
+        (local_loss, correct), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = reduce_grads(grads)
+        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        correct = jax.lax.psum(correct, DATA_AXIS)
+        updates, o_new = tx.update(grads, opt_state, params)
+        p_new = optax.apply_updates(params, updates)
+        if guard:
+            live = count > 0
+            p_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), p_new, params)
+            o_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
+        return p_new, o_new, jnp.stack([loss, correct, count])
+
+    if k == 1:
+        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
+            return one_step(params, opt_state, step[0], data_x, data_y,
+                            epoch_idx, epoch=_epoch_of(step))
+    else:
+        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
+            epoch = _epoch_of(start)
+
+            def body(carry, step):
+                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
+                                   epoch=epoch)
+                return (p, o), m
+
+            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), steps)
+            return params, opt_state, metrics
+
+    # Spec pytree from the optimizer-state STRUCTURE only (eval_shape — no
+    # real moment arrays are allocated here).
+    opt_specs = opt_specs_like(jax.eval_shape(tx.init, proto_params),
+                               param_specs)
+    sharded = shard_map(
+        local_step, mesh,
+        in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(param_specs, opt_specs, P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, k: int = 1,
                        guard_padded_steps: bool = True):
@@ -498,77 +575,22 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     needs_model_sync = (pe_mod.KIND == PE_KIND_LOGITS_BIAS
                         or cfg.pos_encoding == "rope-mixed")
     pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
-    guard = guard_padded_steps and k > 1
 
-    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
-                 epoch=0):
-        idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step, axis=0, keepdims=False)
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        safe_count = jnp.maximum(count, 1.0)
-        # Augment/dropout key: per (epoch, step, data shard), IDENTICAL
-        # across the model axis (activations/masks there must stay
-        # replicated).
-        key = jax.random.fold_in(
-            jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
-                step),
-            jax.lax.axis_index(DATA_AXIS))
-
-        def loss_fn(p):
-            loss_sum, correct = _loss_and_metrics(
-                p, imgs, labels, mask, cfg, preprocess, apply_fn=tp.apply_tp,
-                key=key)
-            return loss_sum / safe_count, correct
-
-        (local_loss, correct), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+    def reduce_grads(grads):
         grads = jax.lax.psum(grads, DATA_AXIS)
         if needs_model_sync:
+            grads = dict(grads)
             for pk in pe_keys:
                 grads[pk] = jax.lax.psum(grads[pk], MODEL_AXIS)
-        loss = jax.lax.psum(local_loss, DATA_AXIS)
-        correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, o_new = tx.update(grads, opt_state, params)
-        p_new = optax.apply_updates(params, updates)
-        if guard:
-            live = count > 0
-            p_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), p_new, params)
-            o_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
-        return p_new, o_new, jnp.stack([loss, correct, count])
+        return grads
 
-    if k == 1:
-        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
-            return one_step(params, opt_state, step[0], data_x, data_y,
-                            epoch_idx, epoch=_epoch_of(step))
-    else:
-        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
-            epoch = _epoch_of(start)
-
-            def body(carry, step):
-                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
-                                   epoch=epoch)
-                return (p, o), m
-
-            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), steps)
-            return params, opt_state, metrics
-
-    # Build spec pytrees from a throwaway init (structure only).
     proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
                                  cfg)
-    param_specs = tp.tp_param_specs(proto, cfg)
-    opt_specs = opt_specs_like(tx.init(proto), param_specs)
-    sharded = shard_map(
-        local_step, mesh,
-        in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(param_specs, opt_specs, P()),
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return _make_model_axis_train_step(
+        cfg, tcfg, mesh, tx, preprocess, apply_fn=tp.apply_tp,
+        reduce_grads=reduce_grads, proto_params=proto,
+        param_specs=tp.tp_param_specs(proto, cfg),
+        k=k, guard_padded_steps=guard_padded_steps)
 
 
 def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
@@ -588,64 +610,12 @@ def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     from vit_rpe_rope_tpu.parallel import context_parallel as cp
     from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
 
-    guard = guard_padded_steps and k > 1
-
-    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
-                 epoch=0):
-        idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step, axis=0, keepdims=False)
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        safe_count = jnp.maximum(count, 1.0)
-        # Augmentation key: per (epoch, step, data shard), IDENTICAL across
-        # the sequence axis — every sequence shard must embed the SAME
-        # augmented images.
-        key = jax.random.fold_in(
-            jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
-                step),
-            jax.lax.axis_index(DATA_AXIS))
-
-        def loss_fn(p):
-            loss_sum, correct = _loss_and_metrics(
-                p, imgs, labels, mask, cfg, preprocess,
-                apply_fn=cp.apply_cp, key=key)
-            return loss_sum / safe_count, correct
-
-        (local_loss, correct), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        grads = jax.lax.psum(grads, (DATA_AXIS, MODEL_AXIS))
-        loss = jax.lax.psum(local_loss, DATA_AXIS)
-        correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, o_new = tx.update(grads, opt_state, params)
-        p_new = optax.apply_updates(params, updates)
-        if guard:
-            live = count > 0
-            p_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), p_new, params)
-            o_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
-        return p_new, o_new, jnp.stack([loss, correct, count])
-
-    if k == 1:
-        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
-            return one_step(params, opt_state, step[0], data_x, data_y,
-                            epoch_idx, epoch=_epoch_of(step))
-    else:
-        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
-            epoch = _epoch_of(start)
-
-            def body(carry, step):
-                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
-                                   epoch=epoch)
-                return (p, o), m
-
-            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), steps)
-            return params, opt_state, metrics
-
-    return _shard_train_fn(local_step, mesh)
+    proto = vit.init_params(jax.random.PRNGKey(0), cfg)
+    return _make_model_axis_train_step(
+        cfg, tcfg, mesh, tx, preprocess, apply_fn=cp.apply_cp,
+        reduce_grads=lambda g: jax.lax.psum(g, (DATA_AXIS, MODEL_AXIS)),
+        proto_params=proto, param_specs={kk: P() for kk in proto},
+        k=k, guard_padded_steps=guard_padded_steps)
 
 
 def make_pp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
@@ -669,78 +639,22 @@ def make_pp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     from vit_rpe_rope_tpu.parallel import pipeline_parallel as pp
     from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
 
-    guard = guard_padded_steps and k > 1
-
-    def apply_fn(p, x, c):
-        return pp.apply_pp(p, x, c, n_micro=n_micro)
-
-    def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
-                 epoch=0):
-        idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step, axis=0, keepdims=False)
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        safe_count = jnp.maximum(count, 1.0)
-        # Augmentation key: identical across the stage axis (every stage
-        # must embed the SAME augmented images).
-        key = jax.random.fold_in(
-            jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
-                step),
-            jax.lax.axis_index(DATA_AXIS))
-
-        def loss_fn(p):
-            loss_sum, correct = _loss_and_metrics(
-                p, imgs, labels, mask, cfg, preprocess,
-                apply_fn=apply_fn, key=key)
-            return loss_sum / safe_count, correct
-
-        (local_loss, correct), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+    def reduce_grads(grads):
         grads = jax.lax.psum(grads, DATA_AXIS)
-        grads = {kk: (g if kk.startswith("blocks.")
-                      else jax.lax.psum(g, MODEL_AXIS))
-                 for kk, g in grads.items()}
-        loss = jax.lax.psum(local_loss, DATA_AXIS)
-        correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, o_new = tx.update(grads, opt_state, params)
-        p_new = optax.apply_updates(params, updates)
-        if guard:
-            live = count > 0
-            p_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), p_new, params)
-            o_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), o_new, opt_state)
-        return p_new, o_new, jnp.stack([loss, correct, count])
-
-    if k == 1:
-        def local_step(params, opt_state, step, data_x, data_y, epoch_idx):
-            return one_step(params, opt_state, step[0], data_x, data_y,
-                            epoch_idx, epoch=_epoch_of(step))
-    else:
-        def local_step(params, opt_state, start, data_x, data_y, epoch_idx):
-            epoch = _epoch_of(start)
-
-            def body(carry, step):
-                p, o, m = one_step(*carry, step, data_x, data_y, epoch_idx,
-                                   epoch=epoch)
-                return (p, o), m
-
-            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), steps)
-            return params, opt_state, metrics
+        # Staged block params are sharded -> grads stay local to their
+        # stage; replicated-use params carry partial per-stage grads.
+        return {kk: (g if kk.startswith("blocks.")
+                     else jax.lax.psum(g, MODEL_AXIS))
+                for kk, g in grads.items()}
 
     proto = vit.stack_block_params(
         vit.init_params(jax.random.PRNGKey(0), cfg), cfg)
-    param_specs = pp.pp_param_specs(proto)
-    opt_specs = opt_specs_like(tx.init(proto), param_specs)
-    sharded = shard_map(
-        local_step, mesh,
-        in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
-        out_specs=(param_specs, opt_specs, P()),
-    )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return _make_model_axis_train_step(
+        cfg, tcfg, mesh, tx, preprocess,
+        apply_fn=lambda p, x, c: pp.apply_pp(p, x, c, n_micro=n_micro),
+        reduce_grads=reduce_grads, proto_params=proto,
+        param_specs=pp.pp_param_specs(proto),
+        k=k, guard_padded_steps=guard_padded_steps)
 
 
 def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1,
