@@ -1,0 +1,124 @@
+"""Inference / deployment CLI — [extension], no reference counterpart
+(the reference's only inference path is the visualizers' torch.load +
+eager forward, /root/reference/pe_similarity_visualizer.py:101-178).
+
+Three things, composable in one invocation:
+  * classify:  --input images.npz         (npz: 'images' uint8 NHWC
+               [+ optional 'labels' to score accuracy])
+  * export:    --export model.stablehlo   (self-contained batch-polymorphic
+               AOT artifact; replayable with only jax installed)
+  * serve an artifact: --artifact model.stablehlo (instead of a checkpoint)
+
+The model architecture is reconstructed from the checkpoint's shapes alone
+(viz.introspect.infer_vit_config — the whole-model generalization of the
+reference tools' shape-sniffing), so reference-trained .pth files work
+directly:
+
+  python -m vit_rpe_rope_tpu.cli.predict checkpoints/cifar10_rope-axial_best.npz \\
+      --input batch.npz --export rope_axial.stablehlo
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="ViT inference: classify images / export an AOT artifact")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="trained checkpoint (.npz ours / .pth reference); "
+                        "omit when using --artifact")
+    p.add_argument("--dataset", type=str, default="auto",
+                   choices=["auto", "mnist", "cifar10"],
+                   help="normalization/native-size contract (auto: by the "
+                        "checkpoint's in_chans — 1=mnist, 3=cifar10)")
+    p.add_argument("--input", type=str, default=None,
+                   help="npz with 'images' (uint8 NHWC or HWC) and optional "
+                        "'labels'")
+    p.add_argument("--export", type=str, default=None,
+                   help="write a StableHLO serving artifact here")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve from a saved artifact (no checkpoint/model "
+                        "code needed)")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--num_heads", type=int, default=6,
+                   help="fallback when the checkpoint doesn't pin it")
+    p.add_argument("--grid_size", type=int, default=8,
+                   help="fallback patch grid when the checkpoint doesn't pin "
+                        "it (cifar10-named files force 8, like the reference)")
+    p.add_argument("--rope_mixed_compat_scramble", action="store_true",
+                   help="interpret rope-mixed learned frequencies with the "
+                        "reference's (head,position) memory scramble "
+                        "(SURVEY.md Q1) — use for reference-trained .pth")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.artifact is None and args.checkpoint is None:
+        build_parser().error("need a checkpoint or --artifact")
+
+    import dataclasses
+
+    import numpy as np
+
+    from vit_rpe_rope_tpu import serving
+    from vit_rpe_rope_tpu.data.datasets import NATIVE_SIZE, NORMALIZATION
+    from vit_rpe_rope_tpu.models import vit
+    from vit_rpe_rope_tpu.utils import checkpoint
+    from vit_rpe_rope_tpu.viz import introspect
+
+    if args.artifact is not None:
+        predictor = serving.Predictor.from_artifact(args.artifact)
+        print(f"Loaded artifact {args.artifact} "
+              f"(input {predictor.in_shape}, batch-polymorphic)")
+        exported = None
+    else:
+        state = checkpoint.load_state(args.checkpoint)
+        cfg = introspect.infer_vit_config(
+            state, path=args.checkpoint, num_heads=args.num_heads,
+            grid_size=args.grid_size)
+        if args.rope_mixed_compat_scramble:
+            cfg = dataclasses.replace(cfg, rope_mixed_compat_scramble=True)
+        dataset = args.dataset
+        if dataset == "auto":
+            dataset = "mnist" if cfg.in_chans == 1 else "cifar10"
+        mean, std = NORMALIZATION[dataset]
+        native = NATIVE_SIZE[dataset]
+        params, _ = checkpoint.split_state(state, vit.buffers(cfg))
+        print(f"{args.checkpoint}: {cfg.pos_encoding} ViT d{cfg.embed_dim} "
+              f"depth {cfg.depth} heads {cfg.num_heads} patch "
+              f"{cfg.patch_size} @ {cfg.img_size}px ({dataset} contract)")
+        predictor = serving.Predictor.from_params(params, cfg, mean, std,
+                                                  native)
+        exported = None
+        if args.export:
+            exported = serving.export_model(params, cfg, mean, std, native)
+            path = serving.save_artifact(args.export, exported)
+            import os
+
+            print(f"Exported {path} ({os.path.getsize(path):,} bytes, "
+                  f"platforms {exported.platforms}, symbolic batch)")
+
+    if args.input:
+        with np.load(args.input) as z:
+            images = z["images"]
+            labels = z["labels"] if "labels" in z.files else None
+        if images.ndim == 3:
+            images = images[None]
+        preds = []
+        for s in range(0, len(images), args.batch_size):
+            preds.append(predictor.predict(images[s:s + args.batch_size]))
+        preds = np.concatenate(preds)
+        print("predictions:", " ".join(str(int(c)) for c in preds[:64])
+              + (" ..." if len(preds) > 64 else ""))
+        if labels is not None:
+            acc = 100.0 * float((preds == np.asarray(labels)).mean())
+            print(f"accuracy: {acc:.2f}% ({len(preds)} examples)")
+        return preds
+    return None
+
+
+if __name__ == "__main__":
+    main()

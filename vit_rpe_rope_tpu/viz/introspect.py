@@ -111,6 +111,78 @@ def load_pe_model(path: str, method: str, grid_size: int = 14,
     return PEModel(method, pe_params, embed_dim, num_heads, head_dim, grid)
 
 
+def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
+                     grid_size: int = 8, num_classes: int | None = None):
+    """Reconstruct a full ViTConfig from a checkpoint's shapes alone —
+    the whole-model generalization of the reference loaders' shape-sniffing
+    (/root/reference/pe_similarity_visualizer.py:144-175,
+    /root/reference/rope_visualizer.py:218-284): patch_embed.weight
+    [E, C, P, P] fixes embed_dim/in_chans/patch_size, blocks.{i}.* fixes
+    depth, head.weight fixes num_classes, and the pos_embed.* key present
+    identifies the PE method plus (where its shapes encode them) num_heads
+    and the patch grid. `num_heads`/`grid_size` are the fallbacks for
+    methods whose checkpoints don't pin them (none/absolute/shared-poly);
+    the reference's cifar10-filename grid quirk applies to `path`.
+    """
+    from vit_rpe_rope_tpu.configs import ViTConfig
+
+    pw = state.get("patch_embed.weight")
+    if pw is None:
+        raise ValueError("checkpoint has no patch_embed.weight — cannot "
+                         "infer the architecture (SURVEY.md Q9 key contract)")
+    embed_dim, in_chans, patch_size = (int(pw.shape[0]), int(pw.shape[1]),
+                                       int(pw.shape[2]))
+    depth = 1 + max((int(k.split(".")[1]) for k in state
+                     if k.startswith("blocks.")), default=-1)
+    if depth == 0:
+        raise ValueError("checkpoint has no blocks.* keys")
+    if num_classes is None:
+        hw = state.get("head.weight")
+        num_classes = int(hw.shape[0]) if hw is not None else 10
+
+    method_by_key = {
+        "pos_embed.pos_embed": "absolute",
+        "pos_embed.relative_position_bias_table": "relative",
+        "pos_embed.coefficients": "polynomial",
+        "pos_embed.inv_freq": "rope-axial",
+        "pos_embed.freqs": "rope-mixed",
+    }
+    methods = [m for k, m in method_by_key.items() if k in state]
+    method = methods[0] if methods else "none"
+
+    grid = grid_from_filename(path, grid_size)
+    kw = {}
+    if method == "relative":
+        table = state["pos_embed.relative_position_bias_table"]
+        num_heads = int(table.shape[0])
+        seq_len = (int(table.shape[1]) + 1) // 2
+        g = int(math.isqrt(seq_len - 1))
+        if g * g == seq_len - 1:
+            grid = g
+    elif method == "polynomial":
+        coeff = state["pos_embed.coefficients"]
+        if coeff.ndim == 2:
+            num_heads = int(coeff.shape[0])
+        kw = dict(poly_degree=int(coeff.shape[-1]) - 1,
+                  poly_shared_heads=coeff.ndim == 1)
+    elif method == "rope-axial":
+        inv_freq = np.asarray(state["pos_embed.inv_freq"], np.float64)
+        half = int(inv_freq.shape[0])
+        num_heads = embed_dim // (4 * half)
+        if half > 1 and inv_freq[1] > 0:
+            # inv_freq[i] = theta^(-i/half) is a buffer in the state_dict
+            # (SURVEY.md Q8) — recover the theta it was built with so the
+            # regenerated frequencies match the checkpoint exactly.
+            kw = dict(rope_theta=float(inv_freq[1] ** -half))
+    elif method == "rope-mixed":
+        num_heads = int(state["pos_embed.freqs"].shape[1])
+
+    return ViTConfig(img_size=grid * patch_size, patch_size=patch_size,
+                     in_chans=in_chans, num_classes=num_classes,
+                     embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+                     pos_encoding=method, **kw)
+
+
 def discover_checkpoints(ckpt_dir: str, methods) -> dict:
     """Auto-discovery: {method: path} for every
     {ckpt_dir}/cifar10_{method}_best.{npz,pth} that exists
