@@ -117,6 +117,25 @@ def test_export_roundtrip_batch_polymorphic(tmp_path):
                                    live.logits(images), rtol=1e-5, atol=1e-5)
 
 
+def test_data_parallel_predictor_matches_single_device():
+    from vit_rpe_rope_tpu.parallel.mesh import make_mesh
+
+    cfg = ViTConfig(**TINY, pos_encoding="rope-mixed")
+    params = vit.init_params(jax.random.PRNGKey(3), cfg)
+    mean, std, native = _mnist_contract(cfg)
+    mesh = make_mesh()  # all 8 virtual CPU devices on the data axis
+    assert mesh.devices.size == 8
+    dp = serving.Predictor.from_params(params, cfg, mean, std, native,
+                                       mesh=mesh)
+    single = serving.Predictor.from_params(params, cfg, mean, std, native)
+    rng = np.random.default_rng(4)
+    for batch in (16, 5):  # divisible and ragged (padded to the shard count)
+        images = rng.integers(0, 256, (batch, native, native, 1),
+                              dtype=np.uint8)
+        np.testing.assert_allclose(dp.logits(images), single.logits(images),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_predict_cli_end_to_end(tmp_path, capsys):
     cfg, params, ckpt = _save_tiny(tmp_path, "mnist_rope-axial_best.npz",
                                    pos_encoding="rope-axial")
@@ -139,6 +158,24 @@ def test_predict_cli_end_to_end(tmp_path, capsys):
     # Serve from the artifact alone (no checkpoint path).
     preds2 = predict_cli.main(["--artifact", art, "--input", inp])
     np.testing.assert_array_equal(preds2, labels)
+
+
+def test_predict_cli_serves_reference_pth(tmp_path):
+    """A torch-format .pth (the reference's checkpoint container) drops
+    straight into the serving CLI — same predictions as the .npz."""
+    pytest.importorskip("torch")
+    cfg, params, ckpt = _save_tiny(tmp_path, "mnist_relative_best.npz",
+                                   pos_encoding="relative")
+    pth = checkpoint.export_torch(ckpt)
+    mean, std, native = _mnist_contract(cfg)
+    rng = np.random.default_rng(6)
+    images = rng.integers(0, 256, (4, native, native, 1), dtype=np.uint8)
+    inp = str(tmp_path / "in.npz")
+    np.savez(inp, images=images)
+    want = serving.Predictor.from_params(params, cfg, mean, std,
+                                         native).predict(images)
+    got = predict_cli.main([pth, "--input", inp])
+    np.testing.assert_array_equal(got, want)
 
 
 def test_predict_cli_requires_source():

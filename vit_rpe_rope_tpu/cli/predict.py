@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interpret rope-mixed learned frequencies with the "
                         "reference's (head,position) memory scramble "
                         "(SURVEY.md Q1) — use for reference-trained .pth")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training W8A8 quantization: int8 MXU matmuls "
+                        "with dynamic per-token activation scales (quant.py)")
     return p
 
 
@@ -90,11 +93,17 @@ def main(argv=None):
         print(f"{args.checkpoint}: {cfg.pos_encoding} ViT d{cfg.embed_dim} "
               f"depth {cfg.depth} heads {cfg.num_heads} patch "
               f"{cfg.patch_size} @ {cfg.img_size}px ({dataset} contract)")
-        predictor = serving.Predictor.from_params(params, cfg, mean, std,
-                                                  native)
-        exported = None
+        if args.int8:  # quantize ONCE, shared by classify + export
+            from vit_rpe_rope_tpu import quant
+
+            params = quant.quantize_params(params, cfg)
+        predictor = None
+        if args.input:
+            predictor = serving.Predictor.from_params(
+                params, cfg, mean, std, native, int8=args.int8)
         if args.export:
-            exported = serving.export_model(params, cfg, mean, std, native)
+            exported = serving.export_model(params, cfg, mean, std, native,
+                                            int8=args.int8)
             path = serving.save_artifact(args.export, exported)
             import os
 

@@ -28,28 +28,48 @@ from vit_rpe_rope_tpu.train import train_step as ts
 ARTIFACT_SUFFIX = ".stablehlo"
 
 
-def make_infer_fn(cfg: ViTConfig, mean, std, native_size: int):
+def _is_quantized_state(params: dict) -> bool:
+    """True when `params` is already quant.quantize_params output — lets
+    callers pre-quantize once and share across Predictor + export_model."""
+    return any(k.endswith(":q8") for k in params)
+
+
+def make_infer_fn(cfg: ViTConfig, mean, std, native_size: int,
+                  int8: bool = False):
     """(params, images uint8 [B, native, native, C]) -> logits [B, classes].
 
     Bakes the eval preprocessing (normalize + resize to cfg.img_size) in
     front of the forward, so the serving input contract is raw dataset-format
-    pixels — the same tensors the training data pipeline stages."""
+    pixels — the same tensors the training data pipeline stages.
+
+    int8=True expects quant.quantize_params output and runs the W8A8
+    quantized forward (int8 MXU matmuls — see quant.py)."""
     preprocess = ts.make_preprocess(cfg, mean, std, native_size)
 
     def infer(params, images_u8):
-        return vit.apply(params, preprocess(images_u8), cfg)
+        x = preprocess(images_u8)
+        if int8:
+            from vit_rpe_rope_tpu import quant
+
+            return quant.apply_q8(params, x, cfg)
+        return vit.apply(params, x, cfg)
 
     return infer
 
 
 def export_model(params, cfg: ViTConfig, mean, std, native_size: int,
-                 batch: int | None = None,
-                 platforms=("tpu", "cpu")) -> jax_export.Exported:
+                 batch: int | None = None, platforms=("tpu", "cpu"),
+                 int8: bool = False) -> jax_export.Exported:
     """AOT-lower inference to a multi-platform Exported with params embedded
     as constants. batch=None exports a symbolic batch dimension ("b") —
     callable at ANY batch size; an int pins a static batch (marginally
-    faster launches, fixed shape)."""
-    infer = make_infer_fn(cfg, mean, std, native_size)
+    faster launches, fixed shape). int8=True quantizes (quant.py) before
+    lowering — the artifact carries int8 weights."""
+    if int8 and not _is_quantized_state(params):
+        from vit_rpe_rope_tpu import quant
+
+        params = quant.quantize_params(params, cfg)
+    infer = make_infer_fn(cfg, mean, std, native_size, int8=int8)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     fn = jax.jit(lambda images: infer(params, images))
     if batch is None:
@@ -79,25 +99,53 @@ class Predictor:
 
     Built either from a live (params, cfg) pair or from a saved artifact
     (`Predictor.from_artifact`) — the latter needs no model code or params,
-    only jax."""
+    only jax. Pass a mesh to `from_params` for data-parallel batch serving:
+    params are replicated, the batch is sharded over the mesh's 'data' axis
+    (XLA partitions the forward; ragged batches are padded up to the shard
+    multiple and sliced back)."""
 
-    def __init__(self, call_fn, in_shape):
-        self._call = jax.jit(call_fn)
+    def __init__(self, call_fn, in_shape, pad_to: int = 1):
+        """call_fn: ready-to-call (images_u8) -> logits (already jitted /
+        exported — NOT re-jitted here)."""
+        self._call = call_fn
         self.in_shape = in_shape  # (native, native, chans)
+        self._pad_to = pad_to
 
     @classmethod
-    def from_params(cls, params, cfg: ViTConfig, mean, std, native_size: int):
-        infer = make_infer_fn(cfg, mean, std, native_size)
+    def from_params(cls, params, cfg: ViTConfig, mean, std, native_size: int,
+                    mesh=None, int8: bool = False):
+        if int8 and not _is_quantized_state(params):
+            from vit_rpe_rope_tpu import quant
+
+            params = quant.quantize_params(params, cfg)
+        infer = make_infer_fn(cfg, mean, std, native_size, int8=int8)
+        # Params ride as jit ARGUMENTS (device-resident between calls), not
+        # closure constants — constants would be re-embedded into the HLO
+        # and round-tripped through the host on every trace.
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        return cls(lambda x: infer(params, x),
-                   (native_size, native_size, cfg.in_chans))
+        in_shape = (native_size, native_size, cfg.in_chans)
+        if mesh is None:
+            jitted = jax.jit(infer)
+            return cls(lambda x: jitted(params, x), in_shape)
+        from vit_rpe_rope_tpu.parallel.mesh import (
+            DATA_AXIS, NamedSharding, P)
+
+        n_data = mesh.shape[DATA_AXIS]
+        rep = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        params = jax.device_put(params, rep)
+        jitted = jax.jit(infer, in_shardings=(
+            jax.tree_util.tree_map(lambda _: rep, params), batch_sh),
+            out_shardings=batch_sh)
+        return cls(lambda x: jitted(params, x), in_shape, pad_to=n_data)
 
     @classmethod
     def from_artifact(cls, path: str):
         exported = load_artifact(path)
         (spec,) = exported.in_avals
-        return cls(exported.call, tuple(int(d) if not jax_export.is_symbolic_dim(d)
-                                        else -1 for d in spec.shape)[1:])
+        return cls(jax.jit(exported.call),
+                   tuple(int(d) if not jax_export.is_symbolic_dim(d)
+                         else -1 for d in spec.shape)[1:])
 
     def logits(self, images_u8) -> np.ndarray:
         images_u8 = np.asarray(images_u8)
@@ -105,7 +153,12 @@ class Predictor:
             raise ValueError(f"expected uint8 images, got {images_u8.dtype}")
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
-        return np.asarray(self._call(images_u8))
+        n = images_u8.shape[0]
+        pad = -n % self._pad_to
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad,) + images_u8.shape[1:], np.uint8)])
+        return np.asarray(self._call(images_u8))[:n]
 
     def predict(self, images_u8) -> np.ndarray:
         """-> int class ids [B]."""
