@@ -54,9 +54,13 @@ def main(argv=None):
         DATA_AXIS, NamedSharding, P, make_mesh)
     from vit_rpe_rope_tpu.train import train_step as ts
 
-    assert distributed.initialize(coordinator_address=args.coordinator,
-                                  num_processes=args.num_processes,
-                                  process_id=args.process_id)
+    # Plain statement + explicit check (NOT an assert: python -O would strip
+    # it and each process would silently run as its own 1-process cluster).
+    ok = distributed.initialize(coordinator_address=args.coordinator,
+                                num_processes=args.num_processes,
+                                process_id=args.process_id)
+    if not ok:
+        raise RuntimeError("jax.distributed bootstrap failed")
     print(f"[p{args.process_id}] processes={jax.process_count()} "
           f"global_devices={len(jax.devices())} "
           f"local_devices={len(jax.local_devices())}", flush=True)

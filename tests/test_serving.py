@@ -65,13 +65,16 @@ def test_infer_vit_config_pins_from_shapes_not_fallbacks(tmp_path):
 
 
 def test_infer_vit_config_cifar10_filename_quirk(tmp_path):
-    # 'cifar10' in the filename forces grid 8 for methods whose shapes don't
-    # pin the grid (the reference tools' behavior).
+    # 'cifar10' in the filename implies grid 8 when nothing pins the grid
+    # (the reference tools' behavior) — but an EXPLICIT grid_size wins.
     _, _, path = _save_tiny(tmp_path, "cifar10_absolute_best.npz",
                             pos_encoding="absolute")
-    got = introspect.infer_vit_config(checkpoint.load_state(path), path=path,
-                                      num_heads=2, grid_size=2)
-    assert got.img_size == 8 * 4
+    state = checkpoint.load_state(path)
+    got = introspect.infer_vit_config(state, path=path, num_heads=2)
+    assert got.img_size == 8 * 4  # filename quirk
+    got = introspect.infer_vit_config(state, path=path, num_heads=2,
+                                      grid_size=2)
+    assert got.img_size == 2 * 4  # explicit flag beats the filename
 
 
 def _mnist_contract(cfg):
@@ -181,3 +184,11 @@ def test_predict_cli_serves_reference_pth(tmp_path):
 def test_predict_cli_requires_source():
     with pytest.raises(SystemExit):
         predict_cli.main(["--input", "x.npz"])
+
+
+def test_predict_cli_rejects_artifact_conflicts(tmp_path):
+    # --artifact is a finished program: combining it with a checkpoint,
+    # --export, or --int8 is an error, not a silent no-op.
+    for extra in (["ckpt.npz"], ["--export", "out.stablehlo"], ["--int8"]):
+        with pytest.raises(SystemExit):
+            predict_cli.main(["--artifact", "m.stablehlo", *extra])

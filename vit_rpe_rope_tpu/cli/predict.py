@@ -44,9 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--num_heads", type=int, default=6,
                    help="fallback when the checkpoint doesn't pin it")
-    p.add_argument("--grid_size", type=int, default=8,
-                   help="fallback patch grid when the checkpoint doesn't pin "
-                        "it (cifar10-named files force 8, like the reference)")
+    p.add_argument("--grid_size", type=int, default=None,
+                   help="patch grid when the checkpoint's shapes don't pin "
+                        "it (default: 8, incl. the reference's cifar10-"
+                        "filename quirk; an explicit value always wins)")
     p.add_argument("--rope_mixed_compat_scramble", action="store_true",
                    help="interpret rope-mixed learned frequencies with the "
                         "reference's (head,position) memory scramble "
@@ -61,6 +62,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.artifact is None and args.checkpoint is None:
         build_parser().error("need a checkpoint or --artifact")
+    if args.artifact is not None and (args.checkpoint is not None
+                                      or args.export or args.int8):
+        # An artifact is already lowered: there is nothing to re-export or
+        # quantize, and a checkpoint alongside it would be ignored — reject
+        # instead of silently dropping what was asked for.
+        build_parser().error(
+            "--artifact serves a finished artifact and cannot be combined "
+            "with a checkpoint, --export, or --int8")
 
     import dataclasses
 

@@ -133,22 +133,28 @@ def _linear(x, weight, bias=None):
     return y
 
 
+def patchify(images, cfg: ViTConfig):
+    """[B, H, W, C] images -> [B, S, C·P·P] per-patch pixel rows, row-major
+    over the patch grid (so t_x = t % w, t_y = t // w — the reference's
+    token order, /root/reference/models/vit.py:164,248-250). Shared by the
+    fp32 patch_embed and the quantized serving twin (quant.apply_q8)."""
+    b = images.shape[0]
+    g, p, c = cfg.grid_size, cfg.patch_size, cfg.in_chans
+    x = images.reshape(b, g, p, g, p, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gi, gj, C, P, P]
+    return x.reshape(b, g * g, c * p * p)
+
+
 def patch_embed(params, images, cfg: ViTConfig):
     """Non-overlapping patch embedding as reshape + matmul.
 
     A conv with kernel == stride is exactly a linear map per patch:
       out[b, t, e] = Σ_{c,p,q} w[e,c,p,q] · img[b, c, i·P+p, j·P+q],  t = i·w+j
-    (matches /root/reference/models/vit.py:164,248-250 including token order:
-    row-major over the patch grid, so t_x = t % w, t_y = t // w).
     images: [B, H, W, C] float.
     """
-    b = images.shape[0]
-    g, p, c, e = cfg.grid_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim
-    x = images.reshape(b, g, p, g, p, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gi, gj, C, P, P]
-    x = x.reshape(b, g * g, c * p * p)
+    e, c, p = cfg.embed_dim, cfg.in_chans, cfg.patch_size
     w = params["patch_embed.weight"].reshape(e, c * p * p)
-    return _linear(x, w, params["patch_embed.bias"])
+    return _linear(patchify(images, cfg), w, params["patch_embed.bias"])
 
 
 def _attention_impl(cfg: ViTConfig) -> str:
@@ -244,6 +250,9 @@ def unstack_block_params(stacked: dict, cfg: ViTConfig) -> dict:
 
 def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
     """One pre-LN block on un-prefixed block params (scan body).
+
+    NOTE: quant._q8_block is this function's int8 serving twin (same
+    structure, quantized linears) — mirror structural changes there.
 
     rng=None (eval, or all dropout rates 0 — the reference's effective
     regime, SURVEY.md Q11) is the deterministic path, byte-identical to the

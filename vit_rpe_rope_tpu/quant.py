@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from vit_rpe_rope_tpu.configs import PE_KIND_EMBED_ADDITIVE, \
     PE_KIND_LOGITS_BIAS, PE_KIND_QK_ROTATION, ViTConfig
-from vit_rpe_rope_tpu.models.vit import _attention_impl, _layer_norm
+from vit_rpe_rope_tpu.models.vit import (_attention_impl, _layer_norm,
+                                          patchify)
 from vit_rpe_rope_tpu.ops import flash_attention, reference_attention
 from vit_rpe_rope_tpu.pe import REGISTRY as pe_registry
 
@@ -43,12 +44,11 @@ def _is_quantized_key(key: str) -> bool:
     return key.startswith("blocks.") and key.endswith(_QUANT_SUFFIXES)
 
 
-def quantize_tensor(w, axis: int = 1):
-    """Symmetric int8 quantization of `w` per channel of the OTHER axis.
-
-    w: [out, in] (torch linear layout); axis=1 reduces over `in`, giving a
-    per-out-channel scale. Returns (w_q int8 [out, in], scale f32 [out])."""
-    absmax = jnp.max(jnp.abs(w), axis=axis)
+def quantize_tensor(w):
+    """Symmetric int8 quantization of `w` [out, in] (torch linear layout)
+    with one scale per OUT channel (reduced over `in`).
+    Returns (w_q int8 [out, in], scale f32 [out])."""
+    absmax = jnp.max(jnp.abs(w), axis=1)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
     w_q = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
     return w_q, scale
@@ -146,10 +146,8 @@ def apply_q8(qparams: dict, images, cfg: ViTConfig):
     """Quantized forward: [B, H, W, C] float images -> [B, classes] logits.
     Mirrors models.vit.apply / forward_features (eval semantics)."""
     pe_mod = pe_registry.get(cfg.pos_encoding)
-    b = images.shape[0]
-    g, p, c, e = cfg.grid_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim
-    x = images.astype(jnp.float32).reshape(b, g, p, g, p, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, g * g, c * p * p)
+    b, e = images.shape[0], cfg.embed_dim
+    x = patchify(images.astype(jnp.float32), cfg)
     x = q8_linear(x, qparams["patch_embed.weight:q8"],
                   qparams["patch_embed.weight:scale"],
                   qparams["patch_embed.bias"])

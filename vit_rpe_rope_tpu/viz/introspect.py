@@ -112,7 +112,8 @@ def load_pe_model(path: str, method: str, grid_size: int = 14,
 
 
 def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
-                     grid_size: int = 8, num_classes: int | None = None):
+                     grid_size: int | None = None,
+                     num_classes: int | None = None):
     """Reconstruct a full ViTConfig from a checkpoint's shapes alone —
     the whole-model generalization of the reference loaders' shape-sniffing
     (/root/reference/pe_similarity_visualizer.py:144-175,
@@ -121,8 +122,10 @@ def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
     depth, head.weight fixes num_classes, and the pos_embed.* key present
     identifies the PE method plus (where its shapes encode them) num_heads
     and the patch grid. `num_heads`/`grid_size` are the fallbacks for
-    methods whose checkpoints don't pin them (none/absolute/shared-poly);
-    the reference's cifar10-filename grid quirk applies to `path`.
+    methods whose checkpoints don't pin them (none/absolute/shared-poly).
+    Grid precedence: checkpoint shapes > explicit grid_size > the
+    reference's cifar10-filename quirk (grid 8) > default 8 — an explicit
+    grid_size is never silently overridden by the filename heuristic.
     """
     from vit_rpe_rope_tpu.configs import ViTConfig
 
@@ -150,7 +153,7 @@ def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
     methods = [m for k, m in method_by_key.items() if k in state]
     method = methods[0] if methods else "none"
 
-    grid = grid_from_filename(path, grid_size)
+    grid = grid_size if grid_size is not None else grid_from_filename(path, 8)
     kw = {}
     if method == "relative":
         table = state["pos_embed.relative_position_bias_table"]
