@@ -71,41 +71,24 @@ def main(argv=None):
             "--artifact serves a finished artifact and cannot be combined "
             "with a checkpoint, --export, or --int8")
 
-    import dataclasses
-
     import numpy as np
 
     from vit_rpe_rope_tpu import serving
-    from vit_rpe_rope_tpu.data.datasets import NATIVE_SIZE, NORMALIZATION
-    from vit_rpe_rope_tpu.models import vit
-    from vit_rpe_rope_tpu.utils import checkpoint
-    from vit_rpe_rope_tpu.viz import introspect
 
     if args.artifact is not None:
         predictor = serving.Predictor.from_artifact(args.artifact)
         print(f"Loaded artifact {args.artifact} "
               f"(input {predictor.in_shape}, batch-polymorphic)")
-        exported = None
     else:
-        state = checkpoint.load_state(args.checkpoint)
-        cfg = introspect.infer_vit_config(
-            state, path=args.checkpoint, num_heads=args.num_heads,
-            grid_size=args.grid_size)
-        if args.rope_mixed_compat_scramble:
-            cfg = dataclasses.replace(cfg, rope_mixed_compat_scramble=True)
-        dataset = args.dataset
-        if dataset == "auto":
-            dataset = "mnist" if cfg.in_chans == 1 else "cifar10"
-        mean, std = NORMALIZATION[dataset]
-        native = NATIVE_SIZE[dataset]
-        params, _ = checkpoint.split_state(state, vit.buffers(cfg))
+        # int8=... quantizes ONCE here; classify + export share the result.
+        params, cfg, mean, std, native, dataset = serving.load_serving_state(
+            args.checkpoint, dataset=args.dataset, num_heads=args.num_heads,
+            grid_size=args.grid_size,
+            rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
+            int8=args.int8)
         print(f"{args.checkpoint}: {cfg.pos_encoding} ViT d{cfg.embed_dim} "
               f"depth {cfg.depth} heads {cfg.num_heads} patch "
               f"{cfg.patch_size} @ {cfg.img_size}px ({dataset} contract)")
-        if args.int8:  # quantize ONCE, shared by classify + export
-            from vit_rpe_rope_tpu import quant
-
-            params = quant.quantize_params(params, cfg)
         predictor = None
         if args.input:
             predictor = serving.Predictor.from_params(

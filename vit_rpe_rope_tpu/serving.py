@@ -94,6 +94,40 @@ def load_artifact(path: str) -> jax_export.Exported:
         return jax_export.deserialize(bytearray(f.read()))
 
 
+def load_serving_state(checkpoint_path: str, dataset: str = "auto",
+                       num_heads: int = 6, grid_size: int | None = None,
+                       rope_mixed_compat_scramble: bool = False,
+                       int8: bool = False):
+    """Checkpoint (.npz ours / .pth reference) -> (params, cfg, mean, std,
+    native_size, dataset): everything needed to build a Predictor or export
+    an artifact. Architecture is reconstructed from the checkpoint's shapes
+    (viz.introspect.infer_vit_config); dataset="auto" picks the
+    normalization contract by channel count (1=mnist, 3=cifar10); int8=True
+    returns quantized params (quant.quantize_params)."""
+    import dataclasses
+
+    from vit_rpe_rope_tpu.data.datasets import NATIVE_SIZE, NORMALIZATION
+    from vit_rpe_rope_tpu.utils import checkpoint
+    from vit_rpe_rope_tpu.viz import introspect
+
+    state = checkpoint.load_state(checkpoint_path)
+    cfg = introspect.infer_vit_config(state, path=checkpoint_path,
+                                      num_heads=num_heads,
+                                      grid_size=grid_size)
+    if rope_mixed_compat_scramble:
+        cfg = dataclasses.replace(cfg, rope_mixed_compat_scramble=True)
+    if dataset == "auto":
+        dataset = "mnist" if cfg.in_chans == 1 else "cifar10"
+    mean, std = NORMALIZATION[dataset]
+    native = NATIVE_SIZE[dataset]
+    params, _ = checkpoint.split_state(state, vit.buffers(cfg))
+    if int8:
+        from vit_rpe_rope_tpu import quant
+
+        params = quant.quantize_params(params, cfg)
+    return params, cfg, mean, std, native, dataset
+
+
 class Predictor:
     """Thin serving wrapper: jitted `call` on uint8 image batches.
 
