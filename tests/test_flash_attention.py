@@ -215,7 +215,7 @@ def test_streaming_backward_matches_oracle(rope):
     out = fa._forward_streaming(q, k, v, scale, None, freqs, interpret=True,
                                 mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(21), out.shape) * 0.1
-    dq, dk, dv, _, _ = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
+    dq, dk, dv, _, _, _ = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
                                          interpret=True,
                                          mm_dtype=jnp.float32)
 
@@ -263,7 +263,7 @@ def test_streaming_backward_dbias_matches_oracle():
     out = fa._forward_streaming(q, k, v, scale, bias, None, interpret=True,
                                 mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(32), out.shape) * 0.1
-    dq, dk, dv, dbias, dfreqs = fa._bwd_streaming(
+    dq, dk, dv, dbias, dfreqs, _ = fa._bwd_streaming(
         scale, q, k, v, bias, None, out, g, interpret=True,
         mm_dtype=jnp.float32, want_dbias=True)
     assert dfreqs is None
@@ -293,7 +293,7 @@ def test_streaming_backward_dfreqs_learnable_rope():
     out = fa._forward_streaming(q, k, v, scale, None, (cos, sin),
                                 interpret=True, mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(43), out.shape) * 0.1
-    dq, dk, dv, dbias, dfreqs = fa._bwd_streaming(
+    dq, dk, dv, dbias, dfreqs, _ = fa._bwd_streaming(
         scale, q, k, v, None, (cos, sin), out, g, interpret=True,
         mm_dtype=jnp.float32, want_dfreqs=True)
     assert dbias is None
@@ -350,3 +350,138 @@ def test_long_sequence_vjp_bias_and_mixed_end_to_end(mode):
         gr = jax.grad(loss_ref, argnums=(0, 1))(cos, sin)[0]
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel polynomial bias GENERATION (streaming poly mode): the bias is
+# computed per tile from the coefficients inside the kernels, and the
+# coefficient gradient is accumulated in-kernel — no [H, N, N] tensor exists
+# in either direction (the capability that makes polynomial PE reachable at
+# N >= 8k, where the bias alone is tens of GB).
+# ---------------------------------------------------------------------------
+
+def _poly_case(key, grid=17, b=2, h=3, d=8, degree=3, shared=False):
+    n = grid * grid + 1
+    q, k, v = make_qkv(key, b, h, n, d)
+    ck = jax.random.split(key, 4)[3]
+    shape = (degree + 1,) if shared else (h, degree + 1)
+    coeff = jax.random.normal(ck, shape, jnp.float32) * 0.02
+    coeff_hk = jnp.broadcast_to(coeff[None], (h, degree + 1)) \
+        if shared else coeff
+    bias = fa._poly_bias_cols(coeff_hk, grid, n, 0, n, degree)
+    return q, k, v, coeff_hk, bias, grid, n
+
+
+def test_poly_bias_cols_matches_pe_module():
+    """The jnp generator must agree with pe/polynomial.attn_bias (the
+    reference semantics oracle), shared and per-head."""
+    for shared in (True, False):
+        cfg = cfg_for(16, 2, 8, "polynomial", poly_degree=3,
+                      poly_shared_heads=shared)
+        key = jax.random.PRNGKey(0)
+        params = polynomial.init_params(key, cfg)
+        want = polynomial.attn_bias(params, cfg)
+        coeff_hk = polynomial.coeff_per_head(params, cfg)
+        got = fa._poly_bias_cols(coeff_hk, cfg.grid_size, cfg.seq_len, 0,
+                                 cfg.seq_len, cfg.poly_degree)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_poly_generated_bias_matches_oracle():
+    q, k, v, coeff_hk, bias, grid, n = _poly_case(jax.random.PRNGKey(3))
+    scale = q.shape[-1] ** -0.5
+    want = ra.attention(q, k, v, scale, bias=bias)
+    got = fa._forward_streaming(q, k, v, scale, None, None, interpret=True,
+                                mm_dtype=jnp.float32, q_tile=128,
+                                kv_tile=128, poly=(coeff_hk, grid))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_poly_backward_matches_oracle():
+    q, k, v, coeff_hk, bias, grid, n = _poly_case(jax.random.PRNGKey(4))
+    scale = q.shape[-1] ** -0.5
+
+    def loss_oracle(q, k, v, c):
+        bias = fa._poly_bias_cols(c, grid, n, 0, n, c.shape[1] - 1)
+        return jnp.sum(ra.attention(q, k, v, scale, bias=bias) ** 2)
+
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, coeff_hk)
+
+    out = fa._forward_streaming(q, k, v, scale, None, None, interpret=True,
+                                mm_dtype=jnp.float32, q_tile=128,
+                                kv_tile=128, poly=(coeff_hk, grid))
+    g = 2.0 * out
+    dq, dk, dv, dbias, dfreqs, dcoeff = fa._bwd_streaming(
+        scale, q, k, v, None, None, out, g, interpret=True,
+        mm_dtype=jnp.float32, q_tile=128, kv_tile=128,
+        poly=(coeff_hk, grid))
+    assert dbias is None and dfreqs is None
+    np.testing.assert_allclose(dq, want[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dk, want[1], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dv, want[2], rtol=2e-4, atol=2e-4)
+    # dcoeff tolerance is relative to the gradient's overall scale: the
+    # softmax-jacobian identity sum_j ds_ij = 0 makes near-zero entries the
+    # cancellation residue of terms ~1e4x larger, so their f32 noise floor
+    # (in the oracle and the kernel alike, through different groupings) is
+    # absolute, not relative.
+    np.testing.assert_allclose(dcoeff, want[3], rtol=2e-4,
+                               atol=1e-3 * np.abs(want[3]).max())
+
+
+def test_poly_dense_path_custom_vjp_small_n():
+    """Below the streaming threshold the poly argument takes the dense path
+    (bias materialized from the coefficients) — value and grads must match
+    the oracle, shared-coefficient broadcast included."""
+    cfg = cfg_for(64, 2, 16, "polynomial", poly_degree=3,
+                  poly_shared_heads=True)
+    params = polynomial.init_params(jax.random.PRNGKey(5), cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(6), 2, 2, cfg.seq_len, 16)
+    scale = 16 ** -0.5
+
+    def loss_flash(q, k, v, p):
+        coeff_hk = polynomial.coeff_per_head(p, cfg)
+        return jnp.sum(fa.flash_attention_hp(
+            q, k, v, scale, poly=(coeff_hk, cfg.grid_size)) ** 2)
+
+    def loss_oracle(q, k, v, p):
+        return jnp.sum(ra.attention(
+            q, k, v, scale, bias=polynomial.attn_bias(p, cfg)) ** 2)
+
+    np.testing.assert_allclose(loss_flash(q, k, v, params),
+                               loss_oracle(q, k, v, params), rtol=1e-5)
+    got = jax.grad(loss_flash, argnums=3)(q, k, v, params)
+    want = jax.grad(loss_oracle, argnums=3)(q, k, v, params)
+    np.testing.assert_allclose(got["pos_embed.coefficients"],
+                               want["pos_embed.coefficients"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_model_streaming_poly_end_to_end(monkeypatch):
+    """vit.apply with polynomial PE above the (patched-down) streaming
+    threshold: the in-kernel-generated path must match the reference
+    implementation for logits AND parameter gradients, with NO [H, N, N]
+    bias in the program."""
+    from vit_rpe_rope_tpu.models import vit
+
+    monkeypatch.setattr(fa, "STREAMING_THRESHOLD", 128)
+    cfg = cfg_for(144, 2, 8, "polynomial", poly_degree=3,
+                  poly_shared_heads=False, attention_impl="flash")
+    cfg_ref = cfg_for(144, 2, 8, "polynomial", poly_degree=3,
+                      poly_shared_heads=False, attention_impl="reference")
+    params = vit.init_params(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, cfg.img_size,
+                                                  cfg.img_size, 3))
+
+    def loss(p, c):
+        return jnp.mean(vit.apply(p, x, c) ** 2)
+
+    # bf16 in-kernel multiplies vs the f32 reference: loose value tolerance.
+    np.testing.assert_allclose(loss(params, cfg), loss(params, cfg_ref),
+                               rtol=5e-3)
+    got = jax.grad(loss)(params, cfg)
+    want = jax.grad(loss)(params, cfg_ref)
+    np.testing.assert_allclose(
+        got["pos_embed.coefficients"], want["pos_embed.coefficients"],
+        rtol=5e-3, atol=1e-6)
+    for key in ("blocks.0.attn.qkv.weight", "head.weight"):
+        np.testing.assert_allclose(got[key], want[key], rtol=5e-3, atol=5e-5)

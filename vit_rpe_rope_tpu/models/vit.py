@@ -205,6 +205,22 @@ def _drop_path(x, rate, key):
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def _logits_bias(pe_mod, params, cfg: ViTConfig):
+    """Materialized [H, L, L] attention bias — or, when the STREAMING flash
+    path will run with polynomial PE (and attention-prob dropout can't force
+    the unfused path), a 1-tuple (coeff_hk,) marker telling _block_body to
+    let the Pallas kernel GENERATE bias tiles in-kernel from the
+    coefficients (ops/flash_attention poly mode). At N >= 8k the [H, N, N]
+    bias alone is tens of GB, so in-kernel generation is what makes
+    polynomial PE reachable in the long-sequence regime."""
+    if (cfg.pos_encoding == "polynomial"
+            and _attention_impl(cfg) == "flash"
+            and cfg.seq_len > flash_attention.STREAMING_THRESHOLD
+            and cfg.attn_drop_rate == 0.0):
+        return (pe_mod.coeff_per_head(params, cfg),)
+    return pe_mod.attn_bias(params, cfg)
+
+
 def _block(params, prefix, x, cfg, bias, freqs_cis, impl, rng=None):
     """Pre-LN transformer block (/root/reference/models/vit.py:100-129) on
     prefix-keyed flat params; delegates to _block_body (rematerialized per
@@ -273,8 +289,13 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
     scale = dh ** -0.5
     attn_dropping = drop and cfg.attn_drop_rate > 0
     if impl == "flash" and not attn_dropping:
-        attn_out = flash_attention.flash_attention(
-            q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
+        if isinstance(bias, tuple):  # poly marker from _logits_bias
+            attn_out = flash_attention.flash_attention(
+                q, k, v, scale, freqs_cis=freqs_cis,
+                poly=(bias[0], cfg.grid_size))
+        else:
+            attn_out = flash_attention.flash_attention(
+                q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
     else:
         # Attn-prob dropout needs the materialized probabilities, so it
         # always runs on the unfused path.
@@ -326,7 +347,7 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig, rng=None):
     if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
         x = pe_mod.add_embedding(stacked, x)
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
-        bias = pe_mod.attn_bias(stacked, cfg)
+        bias = _logits_bias(pe_mod, stacked, cfg)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 
@@ -364,7 +385,9 @@ def forward_features(params, images, cfg: ViTConfig, rng=None):
     if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
         x = pe_mod.add_embedding(params, x)
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
-        bias = pe_mod.attn_bias(params, cfg)  # [H, L, L], once per forward
+        # [H, L, L] once per forward — or the in-kernel-generation marker
+        # in the streaming-polynomial regime (_logits_bias).
+        bias = _logits_bias(pe_mod, params, cfg)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(params, cfg)  # once per forward
 

@@ -123,6 +123,69 @@ def _attn_kernel(q_ref, k_ref, v_ref, *rest, out_ref, scale, n_valid,
     out_ref[...] = (out / denom).astype(out_ref.dtype)
 
 
+def _coeff_scalar(coeff, hi, kk):
+    """coeff[hi, kk] as a scalar via a one-hot masked reduction — the coeff
+    block is the full [H, LANE] array (Mosaic requires block dims equal to
+    the array's when they aren't (8, 128)-aligned), and dynamic-sublane
+    scalar reads don't lower; a masked full-array sum does."""
+    mh = jax.lax.broadcasted_iota(jnp.int32, coeff.shape, 0) == hi
+    mk = jax.lax.broadcasted_iota(jnp.int32, coeff.shape, 1) == kk
+    return jnp.sum(jnp.where(mh & mk, coeff, 0.0))
+
+
+def _poly_tile(coeff_ref, q_start, k_start, tq, tk, grid, degree, n_valid):
+    """Generate a [Tq, Tkv] polynomial-RPE bias tile IN-KERNEL from the
+    [deg+1] coefficient row — closed-form from iota coordinates, no gather
+    (the gather/roll lowerings this sidesteps are the blocked Toeplitz items
+    in ROADMAP.md). Token t's patch coords are ((t-1) % g, (t-1) // g); the
+    cls row/col (token 0) is zeroed, matching pe/polynomial.attn_bias
+    (/root/reference/models/positional_encoding.py:97-171 semantics).
+    Rows/cols beyond n_valid are zeroed too: padded ROWS are not -inf-masked
+    by the kernels, and a garbage positive bias there would overflow exp()
+    into inf·0 = NaN that the dk/dv accumulations then ingest.
+
+    coeff_ref is the full [H, LANE] coefficient block; `hi` (the kernel's
+    head program id) selects the row via _coeff_scalar."""
+    coeff_ref, hi = coeff_ref
+    coeff = coeff_ref[...].astype(jnp.float32)
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    xq, yq = (rows - 1) % grid, (rows - 1) // grid
+    xk, yk = (cols - 1) % grid, (cols - 1) // grid
+    dist = (jnp.abs(xq - xk) + jnp.abs(yq - yk)).astype(jnp.float32)
+    bias = jnp.zeros((tq, tk), jnp.float32)
+    pw = jnp.ones((tq, tk), jnp.float32)
+    for kk in range(degree + 1):
+        bias = bias + _coeff_scalar(coeff, hi, kk) * pw
+        pw = pw * dist
+    valid = ((rows > 0) & (cols > 0)
+             & (rows < n_valid) & (cols < n_valid))
+    return jnp.where(valid, bias, 0.0)
+
+
+def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree):
+    """jnp twin of _poly_tile for the non-kernel sites (dense fallback and
+    the streaming-lse recompute): [H, n_rows, width] bias for token columns
+    [start, start+width) against all rows."""
+    rows = jnp.arange(n_rows)
+    cols = start + jnp.arange(width)
+    xq, yq = (rows - 1) % grid, (rows - 1) // grid
+    xk, yk = (cols - 1) % grid, (cols - 1) // grid
+    dist = (jnp.abs(xq[:, None] - xk[None, :])
+            + jnp.abs(yq[:, None] - yk[None, :])).astype(jnp.float32)
+    powers = jnp.stack([dist ** kk for kk in range(degree + 1)], axis=-1)
+    bias = jnp.einsum("nwk,hk->hnw", powers, coeff_hk.astype(jnp.float32))
+    mask = (rows[:, None] > 0) & (cols[None, :] > 0)
+    return jnp.where(mask[None], bias, 0.0)
+
+
+def _pad_coeff(coeff_hk):
+    """[H, deg+1] -> [H, LANE] (zero-padded lanes; kernels read scalars by
+    static index so only the first deg+1 lanes matter)."""
+    h, w = coeff_hk.shape
+    return jnp.pad(coeff_hk.astype(jnp.float32), ((0, 0), (0, LANE - w)))
+
+
 def _pad_seq(x, n_pad, axis):
     pad = n_pad - x.shape[axis]
     if pad == 0:
@@ -154,18 +217,35 @@ def _prep_freqs(freqs_cis, num_heads, n_pad, dtype):
 def _make_flash_attention(mm_dtype):
     """Build a custom_vjp'd fused attention with in-kernel matmuls running in
     `mm_dtype` (bf16 multiplies + f32 accumulation matches XLA's DEFAULT
-    precision for f32 matmuls on TPU; f32 is for high-precision parity)."""
+    precision for f32 matmuls on TPU; f32 is for high-precision parity).
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-    def attn(q, k, v, scale, bias=None, freqs_cis=None):
-        return _forward(q, k, v, scale, bias, freqs_cis, mm_dtype=mm_dtype)
+    The public wrapper takes `poly=(coeff_hk [H, deg+1], grid_size)` as an
+    alternative to a materialized `bias`: the polynomial-RPE bias is then
+    GENERATED in-kernel per tile (closed-form from coordinates) and its
+    coefficient gradient accumulated in-kernel — no [H, N, N] tensor exists
+    in either direction, which is what makes polynomial PE reachable at
+    N >= 8k (where the bias alone would be tens of GB)."""
 
-    def fwd(q, k, v, scale, bias, freqs_cis):
-        out = _forward(q, k, v, scale, bias, freqs_cis, mm_dtype=mm_dtype)
-        return out, (q, k, v, bias, freqs_cis, out)
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
+    def attn(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff):
+        return _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
+                        poly_grid, mm_dtype=mm_dtype)
+
+    def fwd(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff):
+        out = _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
+                       poly_grid, mm_dtype=mm_dtype)
+        return out, (q, k, v, bias, freqs_cis, poly_coeff, out)
 
     attn.defvjp(fwd, _bwd)
-    return attn
+
+    def flash(q, k, v, scale, bias=None, freqs_cis=None, poly=None):
+        if poly is not None:
+            assert bias is None, "bias and poly are mutually exclusive"
+            coeff_hk, grid = poly
+            return attn(q, k, v, scale, None, freqs_cis, int(grid), coeff_hk)
+        return attn(q, k, v, scale, bias, freqs_cis, 0, None)
+
+    return flash
 
 
 # Sequences longer than this stream KV in tiles with an online softmax
@@ -174,15 +254,22 @@ STREAMING_THRESHOLD = 2048
 KV_TILE = 512
 
 
-def _forward(q, k, v, scale, bias, freqs_cis, interpret=None,
-             mm_dtype=jnp.bfloat16):
+def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
+             interpret=None, mm_dtype=jnp.bfloat16):
     if interpret is None:
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
         interpret = jax.default_backend() != "tpu"
     if q.shape[2] > STREAMING_THRESHOLD:
         return _forward_streaming(q, k, v, scale, bias, freqs_cis,
+                                  poly=(poly_coeff, poly_grid)
+                                  if poly_coeff is not None else None,
                                   interpret=interpret, mm_dtype=mm_dtype)
+    if poly_coeff is not None:
+        # Below the streaming threshold the materialized bias is small —
+        # generate it and take the dense path.
+        bias = _poly_bias_cols(poly_coeff, poly_grid, q.shape[2], 0,
+                               q.shape[2], poly_coeff.shape[1] - 1)
     b, h, n, d = q.shape
     # Asymmetric padding: the KEY axis lives on 128-wide lanes (and is the
     # second matmul's contraction), the QUERY axis on 8-deep sublanes — so
@@ -255,11 +342,16 @@ def _forward(q, k, v, scale, bias, freqs_cis, interpret=None,
 # ---------------------------------------------------------------------------
 
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
-                   scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype):
+                   scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
+                   poly_grid=0, poly_degree=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    coeff_ref = None
     if has_bias:
         bias_ref = rest[idx]
+        idx += 1
+    if poly_grid:
+        coeff_ref = rest[idx]
         idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
@@ -289,6 +381,11 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
     ) * scale  # [Tq, Tkv]
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if poly_grid:
+        s = s + _poly_tile((coeff_ref, pl.program_id(1)),
+                           pl.program_id(2) * s.shape[0],
+                           ki * kv_tile, s.shape[0], s.shape[1],
+                           poly_grid, poly_degree, n_valid)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
 
@@ -311,7 +408,8 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
 
 
 def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
-                       mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+                       mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
+                       poly=None):
     b, h, n, d = q.shape
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -332,12 +430,22 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
     ]
     has_bias = bias is not None
     has_rope = freqs_cis is not None
+    poly_grid = poly_degree = 0
     if has_bias:
         bias_p = _pad_seq(_pad_seq(bias, nq, 1), nk, 2)
         inputs.append(bias_p)
         in_specs.append(
             pl.BlockSpec((1, q_tile, kv_tile),
                          lambda bi, hi, qi, ki: (hi, qi, ki),
+                         memory_space=pltpu.VMEM))
+    if poly is not None:
+        coeff_hk, poly_grid = poly
+        poly_degree = coeff_hk.shape[1] - 1
+        inputs.append(_pad_coeff(coeff_hk))
+        # Full-array block: (H, LANE) isn't (8, 128)-tileable per head, and
+        # Mosaic requires block dims equal to the array's otherwise.
+        in_specs.append(
+            pl.BlockSpec((h, LANE), lambda bi, hi, qi, ki: (0, 0),
                          memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
@@ -357,7 +465,8 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 
     kernel = functools.partial(
         _stream_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
-        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
+        poly_grid=poly_grid, poly_degree=poly_degree)
 
     def kernel_entry(*refs):
         ins = refs[:len(inputs)]
@@ -401,11 +510,15 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 
 def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                           *rest, dq_ref, acc_ref, scale, n_valid, kv_tile,
-                          has_bias, has_rope, mm_dtype, dqr_ref=None):
+                          has_bias, has_rope, mm_dtype, dqr_ref=None,
+                          poly_grid=0, poly_degree=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    coeff_ref = None
     if has_bias:
         bias_ref = rest[idx]; idx += 1
+    if poly_grid:
+        coeff_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
 
@@ -429,6 +542,11 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32) * scale
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if poly_grid:
+        s = s + _poly_tile((coeff_ref, pl.program_id(1)),
+                           pl.program_id(2) * s.shape[0],
+                           ki * kv_tile, s.shape[0], s.shape[1],
+                           poly_grid, poly_degree, n_valid)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
@@ -458,11 +576,14 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            *rest, dk_ref, dv_ref, dk_acc, dv_acc, scale,
                            n_valid, kv_tile, has_bias, has_rope, mm_dtype,
-                           dkr_ref=None):
+                           dkr_ref=None, poly_grid=0, poly_degree=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    coeff_ref = None
     if has_bias:
         bias_ref = rest[idx]; idx += 1
+    if poly_grid:
+        coeff_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
 
@@ -488,6 +609,11 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32) * scale
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
+    if poly_grid:
+        s = s + _poly_tile((coeff_ref, pl.program_id(1)),
+                           qi * s.shape[0], ki * kv_tile,
+                           s.shape[0], s.shape[1], poly_grid, poly_degree,
+                           n_valid)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
@@ -570,9 +696,94 @@ def _stream_bwd_dbias_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dbias_ref[0] = acc_ref[...].astype(dbias_ref.dtype)
 
 
-def _streaming_lse(q, k, scale, bias, freqs_cis, n):
+def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                              coeff_ref, *rest, dcoeff_ref, acc_ref, scale,
+                              n_valid, kv_tile, has_rope, mm_dtype,
+                              poly_grid, poly_degree):
+    """Polynomial-coefficient gradient, fully in-kernel:
+    dcoeff[h, m] = Σ_{b,i,j} ds[b,h,i,j] · dist(i,j)^m · clsmask(i,j).
+    Grid is (h, q-tiles, kv-tiles, BATCH innermost) like the dbias pass, but
+    the accumulator is a single [1, LANE] scratch row per head (one lane per
+    degree); the output is the full [H, LANE] block (Mosaic block-shape
+    rule), revisited across the whole grid, with each head's row added at
+    its last step — the [H, N, N] dbias tensor never exists. Padded query
+    rows carry ds = 0 (zero-padded g/delta); padded key cols carry p = 0
+    (NEG_INF mask)."""
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+
+    hi = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    bi = pl.program_id(3)
+    first = (qi == 0) & (ki == 0) & (bi == 0)
+
+    @pl.when(first & (hi == 0))
+    def _():
+        dcoeff_ref[...] = jnp.zeros_like(dcoeff_ref)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    tq, tk = s.shape
+    q_start, k_start = qi * tq, ki * kv_tile
+    s = s + _poly_tile((coeff_ref, hi), q_start, k_start, tq, tk,
+                       poly_grid, poly_degree, n_valid)
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0])
+    gv = jax.lax.dot_general(
+        g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0])
+
+    # dist powers + cls mask, same construction as _poly_tile.
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    xq, yq = (rows - 1) % poly_grid, (rows - 1) // poly_grid
+    xk, yk = (cols - 1) % poly_grid, (cols - 1) // poly_grid
+    dist = (jnp.abs(xq - xk) + jnp.abs(yq - yk)).astype(jnp.float32)
+    ds = jnp.where((rows > 0) & (cols > 0), ds, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    row = jnp.zeros((1, LANE), jnp.float32)
+    pw = jnp.ones((tq, tk), jnp.float32)
+    for m in range(poly_degree + 1):
+        row = row + jnp.where(lane == m, jnp.sum(ds * pw), 0.0)
+        pw = pw * dist
+    acc_ref[...] += row
+
+    last = ((qi == pl.num_programs(1) - 1) & (ki == pl.num_programs(2) - 1)
+            & (bi == pl.num_programs(3) - 1))
+
+    @pl.when(last)
+    def _():
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, dcoeff_ref.shape, 0) == hi
+        dcoeff_ref[...] += jnp.where(
+            sel,
+            jnp.broadcast_to(acc_ref[...], dcoeff_ref.shape),
+            0.0).astype(dcoeff_ref.dtype)
+
+
+def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None):
     """Per-row logsumexp recomputed with the streaming forward structure (in
-    plain jnp over kv chunks — small [Tq] state, no N×N materialization)."""
+    plain jnp over kv chunks — small [Tq] state, no N×N materialization).
+    poly=(coeff_hk, grid): the chunk's bias columns are generated on the fly
+    (_poly_bias_cols) instead of sliced from a materialized tensor."""
     b, h, nq, d = q.shape
     if freqs_cis is not None:
         q, k = reference_attention.rotate_qk_skip_cls(q, k, freqs_cis)
@@ -585,6 +796,10 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n):
                        preferred_element_type=jnp.float32) * scale
         if bias is not None:
             s = s + bias[None, :, :, start:start + KV_TILE]
+        if poly is not None:
+            coeff_hk, grid = poly
+            s = s + _poly_bias_cols(coeff_hk, grid, nq, start, kt.shape[2],
+                                    coeff_hk.shape[1] - 1)[None]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         l = l * jnp.exp(m - m_new) + jnp.sum(
             jnp.exp(s - m_new[..., None]), axis=-1)
@@ -594,15 +809,22 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n):
 
 def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
                    mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
-                   want_dbias=False, want_dfreqs=False):
-    """Tiled streaming backward. Returns (dq, dk, dv, dbias, dfreqs):
-    dbias [H, N, N] when want_dbias (batch-accumulated in-kernel — same size
-    as the bias input, nothing bigger materializes); dfreqs (dcos, dsin)
-    matching the input freqs_cis when want_dfreqs (learnable rope-mixed),
-    reduced from the rotated-space q/k gradients outside the kernels."""
+                   want_dbias=False, want_dfreqs=False, poly=None):
+    """Tiled streaming backward. Returns (dq, dk, dv, dbias, dfreqs[,
+    dcoeff]): dbias [H, N, N] when want_dbias (batch-accumulated in-kernel —
+    same size as the bias input, nothing bigger materializes); dfreqs
+    (dcos, dsin) matching the input freqs_cis when want_dfreqs (learnable
+    rope-mixed), reduced from the rotated-space q/k gradients outside the
+    kernels. poly=(coeff_hk, grid): bias tiles are GENERATED in-kernel in
+    every pass and a 6th return value dcoeff [H, deg+1] is appended
+    (in-kernel accumulated — no [H, N, N] tensor in either direction)."""
     b, h, n, d = q.shape
-    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n)
+    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=poly)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    poly_grid = poly_degree = 0
+    if poly is not None:
+        poly_grid = poly[1]
+        poly_degree = poly[0].shape[1] - 1
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -629,6 +851,14 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             memory_space=pltpu.VMEM))
         extra_specs_kv.append(pl.BlockSpec(
             (1, q_tile, kv_tile), lambda bi, hi, ki, qi: (hi, qi, ki),
+            memory_space=pltpu.VMEM))
+    if poly is not None:
+        extra.append(_pad_coeff(poly[0]))
+        extra_specs_q.append(pl.BlockSpec(
+            (h, LANE), lambda bi, hi, qi, ki: (0, 0),
+            memory_space=pltpu.VMEM))
+        extra_specs_kv.append(pl.BlockSpec(
+            (h, LANE), lambda bi, hi, ki, qi: (0, 0),
             memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
@@ -698,7 +928,8 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
 
     dq_kernel = functools.partial(
         _stream_bwd_dq_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
-        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
+        poly_grid=poly_grid, poly_degree=poly_degree)
     dq_out_specs = [pl.BlockSpec((1, 1, q_tile, d),
                                  lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                                  memory_space=pltpu.VMEM)]
@@ -732,7 +963,8 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
 
     dkv_kernel = functools.partial(
         _stream_bwd_dkv_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
-        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype)
+        has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
+        poly_grid=poly_grid, poly_degree=poly_degree)
     dkv_out_specs = [
         pl.BlockSpec((1, 1, kv_tile, d),
                      lambda bi, hi, ki, qi: (bi, hi, ki, 0),
@@ -834,10 +1066,71 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             interpret=interpret,
         )(*common_inputs, *extra)[:, :n, :n]
 
+    dcoeff = None
+    if poly is not None:
+        dcoeff_kernel = functools.partial(
+            _stream_bwd_dcoeff_kernel, scale=scale, n_valid=n,
+            kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
+            poly_grid=poly_grid, poly_degree=poly_degree)
+        # grid (h, q-tiles, kv-tiles, BATCH innermost); the [1, LANE]
+        # accumulator revisits one output row per head.
+        dc_common_specs = [
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        dc_extra_specs = [pl.BlockSpec((h, LANE),
+                                       lambda hi, qi, ki, bi: (0, 0),
+                                       memory_space=pltpu.VMEM)]
+        if has_rope:
+            qmap = lambda hi, qi, ki, bi: (hi, qi, 0)   # noqa: E731
+            kmap = lambda hi, qi, ki, bi: (hi, ki, 0)   # noqa: E731
+            dc_extra_specs.extend([
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+            ])
+
+        def dcoeff_entry(*refs):
+            n_in = len(common_inputs) + len(extra)
+            ins, out_ref, acc = refs[:n_in], refs[n_in], refs[n_in + 1]
+            dcoeff_kernel(*ins, dcoeff_ref=out_ref, acc_ref=acc)
+
+        dcoeff = pl.pallas_call(
+            dcoeff_entry,
+            grid=(h, nq // q_tile, nk // kv_tile, b),
+            in_specs=dc_common_specs + dc_extra_specs,
+            out_specs=pl.BlockSpec((h, LANE), lambda hi, qi, ki, bi: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, LANE), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, LANE), jnp.float32)],
+            interpret=interpret,
+        )(*common_inputs, *extra)[:, :poly_degree + 1]
+
     dfreqs = None
     if want_dfreqs:
         dfreqs = _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis)
-    return dq, dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs
+    return dq, dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs, dcoeff
 
 
 def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
@@ -866,34 +1159,39 @@ def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
     return (dcos.astype(freqs_cis[0].dtype), dsin.astype(freqs_cis[1].dtype))
 
 
-def _bwd(scale, residuals, g):
-    q, k, v, bias, freqs_cis, out = residuals
+def _bwd(scale, poly_grid, residuals, g):
+    q, k, v, bias, freqs_cis, poly_coeff, out = residuals
     n = q.shape[2]
     if n > STREAMING_THRESHOLD:
         # Tiled streaming backward for EVERY PE regime: dbias accumulates
-        # over batch in-kernel; learnable rope-mixed frequencies get their
-        # (dcos, dsin) from the rotated-space gradients. Nothing [Nq, Nk]
-        # materializes beyond the bias-shaped tensors the caller already
-        # holds.
+        # over batch in-kernel (dcoeff for the generated-polynomial mode);
+        # learnable rope-mixed frequencies get their (dcos, dsin) from the
+        # rotated-space gradients. Nothing [Nq, Nk] materializes beyond the
+        # bias-shaped tensors the caller already holds (nothing at all for
+        # the polynomial mode).
         learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
-        dq, dk, dv, dbias, dfreqs = _bwd_streaming(
+        dq, dk, dv, dbias, dfreqs, dcoeff = _bwd_streaming(
             scale, q, k, v, bias, freqs_cis, out, g,
             interpret=jax.default_backend() != "tpu",
-            want_dbias=bias is not None, want_dfreqs=learnable_freqs)
+            want_dbias=bias is not None, want_dfreqs=learnable_freqs,
+            poly=(poly_coeff, poly_grid) if poly_coeff is not None else None)
         if freqs_cis is not None and dfreqs is None:
             # Fixed axial frequencies carry no learnable dependence; a zero
             # cotangent is exact (and is dropped upstream).
             dfreqs = (jnp.zeros_like(freqs_cis[0]),
                       jnp.zeros_like(freqs_cis[1]))
-        return dq, dk, dv, dbias, dfreqs
+        return dq, dk, dv, dbias, dfreqs, dcoeff
 
-    def oracle(q, k, v, bias, freqs_cis):
+    def oracle(q, k, v, bias, freqs_cis, poly_coeff):
+        if poly_coeff is not None:
+            bias = _poly_bias_cols(poly_coeff, poly_grid, n, 0, n,
+                                   poly_coeff.shape[1] - 1)
         return reference_attention.attention(
             q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
 
-    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis)
-    dq, dk, dv, dbias, dfreqs = vjp(g)
-    return dq, dk, dv, dbias, dfreqs
+    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis, poly_coeff)
+    dq, dk, dv, dbias, dfreqs, dcoeff = vjp(g)
+    return dq, dk, dv, dbias, dfreqs, dcoeff
 
 
 # Production default (bf16 multiplies, f32 accumulation) and a full-f32

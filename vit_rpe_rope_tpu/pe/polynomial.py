@@ -38,6 +38,18 @@ def buffers(cfg):
     return {}
 
 
+def coeff_per_head(params, cfg):
+    """[num_heads, degree+1] float32 coefficients (shared coeffs broadcast —
+    the broadcast is transposable, so per-head gradients sum back onto the
+    shared parameter automatically). Consumed by the streaming flash path,
+    which generates the bias in-kernel from these instead of materializing
+    the [H, N, N] tensor (ops/flash_attention._poly_tile)."""
+    coeff = params["pos_embed.coefficients"].astype(jnp.float32)
+    if coeff.ndim == 1:
+        coeff = jnp.broadcast_to(coeff[None], (cfg.num_heads, coeff.shape[0]))
+    return coeff
+
+
 def _l1_distance(grid_size: int):
     p = jnp.arange(grid_size * grid_size)
     a, b = p % grid_size, p // grid_size
