@@ -456,6 +456,32 @@ def test_poly_dense_path_custom_vjp_small_n():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_model_streaming_poly_with_remat(monkeypatch):
+    """The coefficient marker (a tuple arg) must survive jax.checkpoint on
+    the block body: remat'd streaming-poly forward+grad equals non-remat."""
+    from vit_rpe_rope_tpu.models import vit
+
+    monkeypatch.setattr(fa, "STREAMING_THRESHOLD", 128)
+    base = dict(poly_degree=2, poly_shared_heads=True,
+                attention_impl="flash")
+    cfg = cfg_for(144, 2, 8, "polynomial", **base)
+    cfg_r = cfg_for(144, 2, 8, "polynomial", **base, remat=True)
+    params = vit.init_params(jax.random.PRNGKey(9), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(10),
+                          (1, cfg.img_size, cfg.img_size, 3))
+
+    def loss(p, c):
+        return jnp.mean(vit.apply(p, x, c) ** 2)
+
+    np.testing.assert_allclose(loss(params, cfg), loss(params, cfg_r),
+                               rtol=1e-6)
+    g = jax.grad(loss)(params, cfg)
+    g_r = jax.grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(
+        g["pos_embed.coefficients"], g_r["pos_embed.coefficients"],
+        rtol=1e-5, atol=1e-7)
+
+
 def test_model_streaming_poly_end_to_end(monkeypatch):
     """vit.apply with polynomial PE above the (patched-down) streaming
     threshold: the in-kernel-generated path must match the reference
