@@ -102,6 +102,29 @@ def test_error_paths(server_and_predictor):
     assert status == 404
 
 
+def test_body_size_cap_and_shape_validation(server_and_predictor):
+    port, _, native = server_and_predictor
+    # Oversized body rejected BEFORE buffering (max_batch=8 -> ~1 MB cap).
+    status, body = _post(port, b"x" * (3 << 20))
+    assert status == 413 and "limit" in body["error"]
+    # Wrong spatial shape -> 400 (not a 500 from inside the jitted call).
+    wrong = np.zeros((2, native + 4, native + 4, 1), np.uint8)
+    status, body = _post(port, _npz_bytes(images=wrong))
+    assert status == 400 and "does not match" in body["error"]
+
+
+def test_logits_query_is_parsed_not_substring_matched(server_and_predictor):
+    port, _, native = server_and_predictor
+    images = np.zeros((1, native, native, 1), np.uint8)
+    for q in ("?nologits=1", "?logits=10", "?logits=0"):
+        status, body = _post(port, _npz_bytes(images=images),
+                             path="/predict" + q)
+        assert status == 200 and "logits" not in body, q
+    status, body = _post(port, _npz_bytes(images=images),
+                         path="/predict?logits=1&other=2")
+    assert status == 200 and "logits" in body
+
+
 def test_cli_conflicts():
     with pytest.raises(SystemExit):
         serve_cli.main([])

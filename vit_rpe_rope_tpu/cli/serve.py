@@ -49,11 +49,20 @@ def make_server(predictor, host: str, port: int, max_batch: int):
     import io
     import json
     import threading
+    import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     import numpy as np
 
     lock = threading.Lock()
+    # Bound request-body memory BEFORE reading it: max_batch images of the
+    # served shape (uncompressed .npz ≈ raw bytes) + labels/headers slack.
+    # -1 dims (symbolic-batch artifacts only carry the batch as symbolic;
+    # spatial dims are concrete) contribute a generous default.
+    el = 1
+    for dim in predictor.in_shape:
+        el *= dim if dim > 0 else 1024
+    max_body = max_batch * el + (1 << 20)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -79,6 +88,15 @@ def make_server(predictor, host: str, port: int, max_batch: int):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = -1
+            if n < 0 or n > max_body:
+                # Reject BEFORE buffering: Content-Length is client-supplied
+                # and must not size an unbounded read.
+                self._reply(413, {"error": f"body of {n} bytes exceeds the "
+                                           f"server limit ({max_body})"})
+                return
+            try:
                 with np.load(io.BytesIO(self.rfile.read(n))) as z:
                     images = np.asarray(z["images"])
             except Exception as e:  # malformed payload -> client error
@@ -89,6 +107,13 @@ def make_server(predictor, host: str, port: int, max_batch: int):
                 images = images[None]
             if images.ndim != 4 or images.dtype != np.uint8:
                 self._reply(400, {"error": "images must be uint8 [B, H, W, C]"})
+                return
+            want = tuple(predictor.in_shape)
+            got = tuple(images.shape[1:])
+            if any(w > 0 and w != g for w, g in zip(want, got)):
+                self._reply(400, {"error": f"image shape {list(got)} does "
+                                           f"not match the served model's "
+                                           f"{list(want)}"})
                 return
             if images.shape[0] > max_batch:
                 self._reply(413, {"error": f"batch {images.shape[0]} exceeds "
@@ -101,7 +126,7 @@ def make_server(predictor, host: str, port: int, max_batch: int):
                 self._reply(500, {"error": str(e)})
                 return
             payload = {"predictions": np.argmax(logits, -1).tolist()}
-            if "logits=1" in query:
+            if urllib.parse.parse_qs(query).get("logits") == ["1"]:
                 payload["logits"] = np.round(logits.astype(float), 6).tolist()
             self._reply(200, payload)
 

@@ -205,18 +205,23 @@ def _drop_path(x, rate, key):
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
-def _logits_bias(pe_mod, params, cfg: ViTConfig):
+def _logits_bias(pe_mod, params, cfg: ViTConfig, rng=None):
     """Materialized [H, L, L] attention bias — or, when the STREAMING flash
     path will run with polynomial PE (and attention-prob dropout can't force
     the unfused path), a 1-tuple (coeff_hk,) marker telling _block_body to
     let the Pallas kernel GENERATE bias tiles in-kernel from the
     coefficients (ops/flash_attention poly mode). At N >= 8k the [H, N, N]
     bias alone is tens of GB, so in-kernel generation is what makes
-    polynomial PE reachable in the long-sequence regime."""
+    polynomial PE reachable in the long-sequence regime.
+
+    rng mirrors _block_body's dropout gate: attn-prob dropout only runs in
+    train mode (rng set), so eval forwards of an attn_drop_rate > 0 config
+    still stream with the marker instead of materializing."""
+    attn_drop_possible = cfg.attn_drop_rate > 0.0 and rng is not None
     if (cfg.pos_encoding == "polynomial"
             and _attention_impl(cfg) == "flash"
             and cfg.seq_len > flash_attention.STREAMING_THRESHOLD
-            and cfg.attn_drop_rate == 0.0):
+            and not attn_drop_possible):
         return (pe_mod.coeff_per_head(params, cfg),)
     return pe_mod.attn_bias(params, cfg)
 
@@ -347,7 +352,7 @@ def apply_stacked(stacked: dict, images, cfg: ViTConfig, rng=None):
     if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
         x = pe_mod.add_embedding(stacked, x)
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
-        bias = _logits_bias(pe_mod, stacked, cfg)
+        bias = _logits_bias(pe_mod, stacked, cfg, rng)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 
@@ -387,7 +392,7 @@ def forward_features(params, images, cfg: ViTConfig, rng=None):
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
         # [H, L, L] once per forward — or the in-kernel-generation marker
         # in the streaming-polynomial regime (_logits_bias).
-        bias = _logits_bias(pe_mod, params, cfg)
+        bias = _logits_bias(pe_mod, params, cfg, rng)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(params, cfg)  # once per forward
 

@@ -133,7 +133,8 @@ def _coeff_scalar(coeff, hi, kk):
     return jnp.sum(jnp.where(mh & mk, coeff, 0.0))
 
 
-def _poly_tile(coeff_ref, q_start, k_start, tq, tk, grid, degree, n_valid):
+def _poly_tile(coeff_ref, q_start, k_start, tq, tk, grid, degree, n_valid,
+               with_dist=False):
     """Generate a [Tq, Tkv] polynomial-RPE bias tile IN-KERNEL from the
     [deg+1] coefficient row — closed-form from iota coordinates, no gather
     (the gather/roll lowerings this sidesteps are the blocked Toeplitz items
@@ -160,7 +161,10 @@ def _poly_tile(coeff_ref, q_start, k_start, tq, tk, grid, degree, n_valid):
         pw = pw * dist
     valid = ((rows > 0) & (cols > 0)
              & (rows < n_valid) & (cols < n_valid))
-    return jnp.where(valid, bias, 0.0)
+    bias = jnp.where(valid, bias, 0.0)
+    if with_dist:  # the dcoeff pass reuses dist/valid for gradient powers
+        return bias, dist, valid
+    return bias
 
 
 def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree):
@@ -740,8 +744,10 @@ def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32) * scale
     tq, tk = s.shape
     q_start, k_start = qi * tq, ki * kv_tile
-    s = s + _poly_tile((coeff_ref, hi), q_start, k_start, tq, tk,
-                       poly_grid, poly_degree, n_valid)
+    bias, dist, valid = _poly_tile((coeff_ref, hi), q_start, k_start, tq, tk,
+                                   poly_grid, poly_degree, n_valid,
+                                   with_dist=True)
+    s = s + bias
     col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])
@@ -750,14 +756,7 @@ def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds = p * (gv - delta_ref[0, 0])
-
-    # dist powers + cls mask, same construction as _poly_tile.
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-    xq, yq = (rows - 1) % poly_grid, (rows - 1) // poly_grid
-    xk, yk = (cols - 1) % poly_grid, (cols - 1) // poly_grid
-    dist = (jnp.abs(xq - xk) + jnp.abs(yq - yk)).astype(jnp.float32)
-    ds = jnp.where((rows > 0) & (cols > 0), ds, 0.0)
+    ds = jnp.where(valid, ds, 0.0)  # cls row/col and padding carry no dcoeff
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     row = jnp.zeros((1, LANE), jnp.float32)
     pw = jnp.ones((tq, tk), jnp.float32)
@@ -904,6 +903,28 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
                          memory_space=pltpu.VMEM),
         ]
 
+    def bh_inner():  # (h, q, kv, BATCH-innermost) grids: dbias/dcoeff passes
+        return [
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     def kv_major():  # (b, h, kv, q) grids
         return [
             pl.BlockSpec((1, 1, q_tile, d),
@@ -1010,26 +1031,7 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             kv_tile=kv_tile, has_bias=has_bias, has_rope=has_rope,
             mm_dtype=mm_dtype)
         # grid (h, q-tiles, kv-tiles, BATCH innermost).
-        db_common_specs = [
-            pl.BlockSpec((1, 1, q_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        db_common_specs = bh_inner()
         db_extra_specs = []
         if has_bias:
             db_extra_specs.append(pl.BlockSpec(
@@ -1072,28 +1074,9 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             _stream_bwd_dcoeff_kernel, scale=scale, n_valid=n,
             kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
             poly_grid=poly_grid, poly_degree=poly_degree)
-        # grid (h, q-tiles, kv-tiles, BATCH innermost); the [1, LANE]
-        # accumulator revisits one output row per head.
-        dc_common_specs = [
-            pl.BlockSpec((1, 1, q_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, d),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1),
-                         lambda hi, qi, ki, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        # grid (h, q-tiles, kv-tiles, BATCH innermost) — same spec family
+        # as the dbias pass.
+        dc_common_specs = bh_inner()
         dc_extra_specs = [pl.BlockSpec((h, LANE),
                                        lambda hi, qi, ki, bi: (0, 0),
                                        memory_space=pltpu.VMEM)]

@@ -42,7 +42,7 @@ from vit_rpe_rope_tpu.configs import (
 )
 from vit_rpe_rope_tpu.models.vit import (
     BLOCK_PARAM_NAMES, _attention_impl, _block_body, _layer_norm, _linear,
-    patch_embed, remat_block_fn)
+    _logits_bias, patch_embed, remat_block_fn)
 from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, P, psum_identity_bwd
 
 
@@ -81,7 +81,10 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
     bias = None
     freqs_cis = None
     if pe_mod.KIND == PE_KIND_LOGITS_BIAS:
-        bias = pe_mod.attn_bias(stacked, cfg)
+        # _logits_bias: materialized bias, or the in-kernel-generation
+        # marker in the streaming-polynomial regime (PP is dropout-free, so
+        # the marker is always safe here).
+        bias = _logits_bias(pe_mod, stacked, cfg)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(stacked, cfg)
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from vit_rpe_rope_tpu.configs import PE_KIND_EMBED_ADDITIVE, \
     PE_KIND_LOGITS_BIAS, PE_KIND_QK_ROTATION, ViTConfig
 from vit_rpe_rope_tpu.models.vit import (_attention_impl, _layer_norm,
-                                          patchify)
+                                          _logits_bias, patchify)
 from vit_rpe_rope_tpu.ops import flash_attention, reference_attention
 from vit_rpe_rope_tpu.pe import REGISTRY as pe_registry
 
@@ -118,9 +118,14 @@ def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl):
                     params[f"{prefix}.attn.qkv.weight:scale"])
     qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
     if impl == "flash":
-        attn_out = flash_attention.flash_attention(
-            qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
-            freqs_cis=freqs_cis)
+        if isinstance(bias, tuple):  # streaming-poly marker (_logits_bias)
+            attn_out = flash_attention.flash_attention(
+                qkv[0], qkv[1], qkv[2], dh ** -0.5, freqs_cis=freqs_cis,
+                poly=(bias[0], cfg.grid_size))
+        else:
+            attn_out = flash_attention.flash_attention(
+                qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
+                freqs_cis=freqs_cis)
     else:
         attn_out = reference_attention.attention(
             qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
@@ -159,7 +164,10 @@ def apply_q8(qparams: dict, images, cfg: ViTConfig):
     if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
         x = pe_mod.add_embedding(qparams, x)
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
-        bias = pe_mod.attn_bias(qparams, cfg)
+        # Same bias-or-marker logic as the fp32 twin: in the streaming-
+        # polynomial regime the kernel generates bias tiles in-kernel from
+        # the (unquantized) coefficients instead of materializing [H, N, N].
+        bias = _logits_bias(pe_mod, qparams, cfg)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
         freqs_cis = pe_mod.freqs_cis(qparams, cfg)
 
