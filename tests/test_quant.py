@@ -144,3 +144,24 @@ def test_int8_agreement_on_trained_model():
     test_images = bundle.test_x[:128]
     agree = (fp.predict(test_images) == q8.predict(test_images)).mean()
     assert agree >= 0.95, agree
+
+
+def test_apply_q8_streaming_poly_marker(monkeypatch):
+    """int8 serving of polynomial PE above the (patched-down) streaming
+    threshold must route through the in-kernel-generated bias marker — the
+    quantized twin of vit's _logits_bias dispatch — and stay close to the
+    fp32 forward."""
+    from vit_rpe_rope_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAMING_THRESHOLD", 128)
+    cfg = ViTConfig(img_size=48, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=2, num_heads=2, pos_encoding="polynomial",
+                    attention_impl="flash")  # grid 12 -> N=145 > 128
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_params(params, cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1.0, (4, 48, 48, 1)), jnp.float32)
+    want = np.asarray(vit.apply(params, x, cfg))
+    got = np.asarray(quant.apply_q8(qparams, x, cfg))
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
+    assert rel < 0.05, rel
