@@ -91,8 +91,17 @@ def make_server(predictor, host: str, port: int, max_batch: int):
             except ValueError:
                 n = -1
             if n < 0 or n > max_body:
-                # Reject BEFORE buffering: Content-Length is client-supplied
-                # and must not size an unbounded read.
+                # Reject WITHOUT buffering: Content-Length is client-supplied
+                # and must not size an unbounded allocation. Drain the body
+                # in small discarded chunks first (bounded memory) so the
+                # client's send completes instead of hitting a broken pipe
+                # before it can read the 413.
+                remaining = max(n, 0)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 16, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
                 self._reply(413, {"error": f"body of {n} bytes exceeds the "
                                            f"server limit ({max_body})"})
                 return
