@@ -156,13 +156,19 @@ def main():
 
     if "--stretch" in sys.argv:
         # BASELINE.json config 5: ViT-S/16 @ 224px (197 tokens), rope-mixed.
+        stretch_base = None
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                stretch_base = json.load(f).get(
+                    "pytorch_cpu_images_per_sec_stretch")
         r = measure(**STRETCH_KW)
         result = {
             "metric": "ViT-S/16 @224 rope-mixed images/sec/chip "
                       "(train fwd+bwd+update, bs64)",
             "value": round(r["images_per_sec"], 1),
             "unit": "images/sec/chip",
-            "vs_baseline": None,
+            "vs_baseline": round(r["images_per_sec"] / stretch_base, 1)
+            if stretch_base else None,
             "tflops_per_sec": round(r["tflops_per_sec"], 2),
             "mfu": round(r["mfu"], 4),
         }

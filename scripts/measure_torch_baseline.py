@@ -25,9 +25,18 @@ REFERENCE = os.environ.get("VIT_PE_REFERENCE", "/root/reference")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
-    ap.add_argument("--batch_size", type=int, default=128)
-    ap.add_argument("--pos_encoding", default="rope-axial")
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--pos_encoding", default=None)
+    ap.add_argument("--stretch", action="store_true",
+                    help="measure the ViT-S/16@224 stretch config instead "
+                        "(BASELINE.json config 5); merged into the same "
+                        "JSON under a _stretch key. Throughput is per-image"
+                        " so a small batch keeps the run tractable on CPU.")
     args = ap.parse_args()
+    if args.pos_encoding is None:
+        args.pos_encoding = "rope-mixed" if args.stretch else "rope-axial"
+    if args.batch_size is None:
+        args.batch_size = 8 if args.stretch else 128
 
     import torch
 
@@ -39,13 +48,17 @@ def main():
     from models.vit import VisionTransformer
 
     torch.manual_seed(0)
+    if args.stretch:
+        img, patch, embed, depth, heads = 224, 16, 384, 12, 6
+    else:
+        img, patch, embed, depth, heads = 32, 4, 192, 6, 6
     model = VisionTransformer(
-        img_size=32, patch_size=4, in_chans=3, num_classes=10, embed_dim=192,
-        depth=6, num_heads=6, pos_encoding=args.pos_encoding,
-        rope_theta=100.0)
+        img_size=img, patch_size=patch, in_chans=3, num_classes=10,
+        embed_dim=embed, depth=depth, num_heads=heads,
+        pos_encoding=args.pos_encoding, rope_theta=100.0)
     criterion = torch.nn.CrossEntropyLoss()
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=0.01)
-    x = torch.randn(args.batch_size, 3, 32, 32)
+    x = torch.randn(args.batch_size, 3, img, img)
     y = torch.randint(0, 10, (args.batch_size,))
 
     def step():
@@ -61,21 +74,27 @@ def main():
         step()
     dt = time.perf_counter() - t0
     ips = args.batch_size * args.steps / dt
+    suffix = "_stretch" if args.stretch else ""
     result = {
-        "pytorch_cpu_images_per_sec": ips,
-        "batch_size": args.batch_size,
-        "pos_encoding": args.pos_encoding,
-        "steps": args.steps,
+        f"pytorch_cpu_images_per_sec{suffix}": ips,
+        f"batch_size{suffix}": args.batch_size,
+        f"pos_encoding{suffix}": args.pos_encoding,
+        f"steps{suffix}": args.steps,
         "torch_version": torch.__version__,
         "torch_threads": torch.get_num_threads(),
         "cpu_count": os.cpu_count(),
-        "note": "reference model fwd+bwd+AdamW on synthetic CIFAR-10 batch; "
+        "note": "reference model fwd+bwd+AdamW on a synthetic batch; "
                 "measured on the bench host (reference publishes no "
                 "throughput numbers)",
     }
     out = os.path.join(REPO, "BASELINE_MEASURED.json")
+    merged = {}  # keep both configs' entries, suffix-namespaced
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(result)
     with open(out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(result))
 
 
