@@ -215,7 +215,7 @@ def test_streaming_backward_matches_oracle(rope):
     out = fa._forward_streaming(q, k, v, scale, None, freqs, interpret=True,
                                 mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(21), out.shape) * 0.1
-    dq, dk, dv, _, _, _ = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
+    dq, dk, dv, _, _, _, _ = fa._bwd_streaming(scale, q, k, v, None, freqs, out, g,
                                          interpret=True,
                                          mm_dtype=jnp.float32)
 
@@ -263,7 +263,7 @@ def test_streaming_backward_dbias_matches_oracle():
     out = fa._forward_streaming(q, k, v, scale, bias, None, interpret=True,
                                 mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(32), out.shape) * 0.1
-    dq, dk, dv, dbias, dfreqs, _ = fa._bwd_streaming(
+    dq, dk, dv, dbias, dfreqs, _, _ = fa._bwd_streaming(
         scale, q, k, v, bias, None, out, g, interpret=True,
         mm_dtype=jnp.float32, want_dbias=True)
     assert dfreqs is None
@@ -293,7 +293,7 @@ def test_streaming_backward_dfreqs_learnable_rope():
     out = fa._forward_streaming(q, k, v, scale, None, (cos, sin),
                                 interpret=True, mm_dtype=jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(43), out.shape) * 0.1
-    dq, dk, dv, dbias, dfreqs, _ = fa._bwd_streaming(
+    dq, dk, dv, dbias, dfreqs, _, _ = fa._bwd_streaming(
         scale, q, k, v, None, (cos, sin), out, g, interpret=True,
         mm_dtype=jnp.float32, want_dfreqs=True)
     assert dbias is None
@@ -411,7 +411,7 @@ def test_streaming_poly_backward_matches_oracle():
                                 mm_dtype=jnp.float32, q_tile=128,
                                 kv_tile=128, poly=(coeff_hk, grid))
     g = 2.0 * out
-    dq, dk, dv, dbias, dfreqs, dcoeff = fa._bwd_streaming(
+    dq, dk, dv, dbias, dfreqs, dcoeff, _ = fa._bwd_streaming(
         scale, q, k, v, None, None, out, g, interpret=True,
         mm_dtype=jnp.float32, q_tile=128, kv_tile=128,
         poly=(coeff_hk, grid))
@@ -511,3 +511,120 @@ def test_model_streaming_poly_end_to_end(monkeypatch):
         rtol=5e-3, atol=1e-6)
     for key in ("blocks.0.attn.qkv.weight", "head.weight"):
         np.testing.assert_allclose(got[key], want[key], rtol=5e-3, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RELATIVE-table bias generation (streaming rel mode): Toeplitz
+# tiles expanded in-kernel from the [H, 2L-1] table via dynamic pltpu.roll +
+# binary-shift decomposition (no gather), with the table gradient
+# accumulated in-kernel by the transpose — closing the last PE mode that
+# still materialized [H, N, N] at long N.
+# ---------------------------------------------------------------------------
+
+def _rel_case(key, n=290, b=2, h=3, d=8):
+    q, k, v = make_qkv(key, b, h, n, d)
+    tk = jax.random.split(key, 4)[3]
+    table = jax.random.normal(tk, (h, 2 * n - 1), jnp.float32) * 0.1
+    bias = fa._rel_bias_cols(table, n, 0, n)
+    return q, k, v, table, bias, n
+
+
+def test_rel_bias_cols_matches_pe_module():
+    cfg = cfg_for(64, 2, 8, "relative")
+    params = relative.init_params(jax.random.PRNGKey(0), cfg)
+    want = relative.attn_bias(params, cfg)
+    got = fa._rel_bias_cols(
+        params["pos_embed.relative_position_bias_table"],
+        cfg.seq_len, 0, cfg.seq_len)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_rel_generated_bias_matches_oracle():
+    q, k, v, table, bias, n = _rel_case(jax.random.PRNGKey(12))
+    scale = q.shape[-1] ** -0.5
+    want = ra.attention(q, k, v, scale, bias=bias)
+    got = fa._forward_streaming(q, k, v, scale, None, None, interpret=True,
+                                mm_dtype=jnp.float32, q_tile=128,
+                                kv_tile=128, rel=table)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_rel_backward_matches_oracle():
+    q, k, v, table, bias, n = _rel_case(jax.random.PRNGKey(13))
+    scale = q.shape[-1] ** -0.5
+
+    def loss_oracle(q, k, v, t):
+        return jnp.sum(ra.attention(
+            q, k, v, scale, bias=fa._rel_bias_cols(t, n, 0, n)) ** 2)
+
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, table)
+
+    out = fa._forward_streaming(q, k, v, scale, None, None, interpret=True,
+                                mm_dtype=jnp.float32, q_tile=128,
+                                kv_tile=128, rel=table)
+    g = 2.0 * out
+    dq, dk, dv, dbias, dfreqs, dcoeff, dtable = fa._bwd_streaming(
+        scale, q, k, v, None, None, out, g, interpret=True,
+        mm_dtype=jnp.float32, q_tile=128, kv_tile=128, rel=table)
+    assert dbias is None and dfreqs is None and dcoeff is None
+    np.testing.assert_allclose(dq, want[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dk, want[1], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dv, want[2], rtol=2e-4, atol=2e-4)
+    # Same softmax-jacobian cancellation caveat as dcoeff: near-zero
+    # entries are residues of much larger terms; scale-relative atol.
+    np.testing.assert_allclose(
+        dtable, want[3], rtol=2e-4,
+        atol=1e-3 * max(float(np.abs(np.asarray(want[3])).max()), 1e-3))
+
+
+def test_rel_dense_path_custom_vjp_small_n():
+    cfg = cfg_for(64, 2, 16, "relative")
+    params = relative.init_params(jax.random.PRNGKey(14), cfg)
+    q, k, v = make_qkv(jax.random.PRNGKey(15), 2, 2, cfg.seq_len, 16)
+    scale = 16 ** -0.5
+
+    def loss_flash(q, k, v, p):
+        return jnp.sum(fa.flash_attention_hp(
+            q, k, v, scale,
+            rel=p["pos_embed.relative_position_bias_table"]) ** 2)
+
+    def loss_oracle(q, k, v, p):
+        return jnp.sum(ra.attention(
+            q, k, v, scale, bias=relative.attn_bias(p, cfg)) ** 2)
+
+    np.testing.assert_allclose(loss_flash(q, k, v, params),
+                               loss_oracle(q, k, v, params), rtol=1e-5)
+    got = jax.grad(loss_flash, argnums=3)(q, k, v, params)
+    want = jax.grad(loss_oracle, argnums=3)(q, k, v, params)
+    np.testing.assert_allclose(
+        got["pos_embed.relative_position_bias_table"],
+        want["pos_embed.relative_position_bias_table"],
+        rtol=1e-4, atol=1e-5)
+
+
+def test_model_streaming_rel_end_to_end(monkeypatch):
+    """vit.apply with relative PE above the (patched-down) streaming
+    threshold: in-kernel-generated Toeplitz bias must match the reference
+    implementation for logits AND the table gradient."""
+    from vit_rpe_rope_tpu.models import vit
+
+    monkeypatch.setattr(fa, "STREAMING_THRESHOLD", 128)
+    cfg = cfg_for(144, 2, 8, "relative", attention_impl="flash")
+    cfg_ref = cfg_for(144, 2, 8, "relative", attention_impl="reference")
+    params = vit.init_params(jax.random.PRNGKey(16), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(17), (2, cfg.img_size,
+                                                   cfg.img_size, 3))
+
+    def loss(p, c):
+        return jnp.mean(vit.apply(p, x, c) ** 2)
+
+    np.testing.assert_allclose(loss(params, cfg), loss(params, cfg_ref),
+                               rtol=5e-3)
+    got = jax.grad(loss)(params, cfg)
+    want = jax.grad(loss)(params, cfg_ref)
+    np.testing.assert_allclose(
+        got["pos_embed.relative_position_bias_table"],
+        want["pos_embed.relative_position_bias_table"],
+        rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(got["head.weight"], want["head.weight"],
+                               rtol=5e-3, atol=5e-5)

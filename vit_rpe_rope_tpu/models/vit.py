@@ -218,11 +218,13 @@ def _logits_bias(pe_mod, params, cfg: ViTConfig, rng=None):
     train mode (rng set), so eval forwards of an attn_drop_rate > 0 config
     still stream with the marker instead of materializing."""
     attn_drop_possible = cfg.attn_drop_rate > 0.0 and rng is not None
-    if (cfg.pos_encoding == "polynomial"
+    if (cfg.pos_encoding in ("polynomial", "relative")
             and _attention_impl(cfg) == "flash"
             and cfg.seq_len > flash_attention.STREAMING_THRESHOLD
             and not attn_drop_possible):
-        return (pe_mod.coeff_per_head(params, cfg),)
+        if cfg.pos_encoding == "polynomial":
+            return (pe_mod.coeff_per_head(params, cfg),)
+        return (params["pos_embed.relative_position_bias_table"],)
     return pe_mod.attn_bias(params, cfg)
 
 
@@ -294,10 +296,12 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
     scale = dh ** -0.5
     attn_dropping = drop and cfg.attn_drop_rate > 0
     if impl == "flash" and not attn_dropping:
-        if isinstance(bias, tuple):  # poly marker from _logits_bias
+        if isinstance(bias, tuple):  # generated-bias marker (_logits_bias)
+            gen = ({"poly": (bias[0], cfg.grid_size)}
+                   if cfg.pos_encoding == "polynomial"
+                   else {"rel": bias[0]})
             attn_out = flash_attention.flash_attention(
-                q, k, v, scale, freqs_cis=freqs_cis,
-                poly=(bias[0], cfg.grid_size))
+                q, k, v, scale, freqs_cis=freqs_cis, **gen)
         else:
             attn_out = flash_attention.flash_attention(
                 q, k, v, scale, bias=bias, freqs_cis=freqs_cis)

@@ -183,6 +183,107 @@ def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree):
     return jnp.where(mask[None], bias, 0.0)
 
 
+def _head_row(mat, hi):
+    """mat[hi] as a [1, W] row via one-hot reduction (same Mosaic rationale
+    as _coeff_scalar: full-array blocks, no dynamic-sublane reads)."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == hi
+    return jnp.sum(jnp.where(sel, mat, 0.0), axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Relative-table in-kernel bias generation (1-D Toeplitz, SURVEY.md Q3):
+# bias[h, i, j] = table[h, i - j + L - 1]. Gathers don't lower in Mosaic
+# (ROADMAP), but dynamic-shift pltpu.roll + a log2(Tq) binary-shift expansion
+# do: roll the REVERSED table row so the tile's window leads, broadcast it to
+# Tq rows, and give row i its extra shift via bit-decomposed static rolls.
+# The transpose (dtable) is the same dance backwards: bit-unshift the ds
+# rows, column-sum into a window, roll it back to table position.
+# All reversals happen OUTSIDE the kernels (lax.rev doesn't lower either):
+# kernels consume rrow = reverse(pad(table_row)) and the dtable pass emits
+# gradients in rrow coordinates, un-reversed by the caller.
+# ---------------------------------------------------------------------------
+
+def _rel_prep(table_h):
+    """[H, 2L-1] table -> (rrow [H, Wfull] f32, L, wfull): zero-padded to a
+    lane multiple, then lane-reversed, ready for _rel_tile."""
+    h, tw = table_h.shape
+    ell = (tw + 1) // 2
+    wfull = _round_up(tw, LANE)
+    padded = jnp.pad(table_h.astype(jnp.float32), ((0, 0), (0, wfull - tw)))
+    return padded[:, ::-1], ell, wfull
+
+
+def _rel_tile(rrow_ref, q_start, k_start, tq, tk, ell, wfull):
+    """[Tq, Tk] relative-bias tile generated in-kernel:
+    out[i, j] = padded_table[(base + i - j) mod wfull], base = q_start -
+    k_start + L - 1. Valid tokens never wrap (|i-j| <= L-1); padded rows/
+    cols read bounded junk that the callers' masks / zero ds neutralize.
+    rrow_ref: (ref [H, Wfull], hi) like _poly_tile's coeff argument."""
+    rrow_ref, hi = rrow_ref
+    rrow = _head_row(rrow_ref[...].astype(jnp.float32), hi)  # [1, Wfull]
+    wpad = _round_up(tq + tk - 1, LANE)
+    base = q_start - k_start + ell - 1
+    s_min = wfull - 1 - base - (tq - 1)
+    r = pltpu.roll(rrow, (wfull - s_min % wfull) % wfull, 1)  # -s_min mod
+    if wpad > wfull:
+        # The rolled row is periodic (roll wraps), so tiling it is EXACT for
+        # every valid (i, j) — their absolute rrow indices lie in [0, Wfull).
+        # Only arises when the table is smaller than the tile span (tiny-N
+        # tests); at streaming N, Wfull >> wpad.
+        reps = -(-wpad // wfull)
+        r = jnp.concatenate([r] * reps, axis=1)
+    m = jnp.broadcast_to(r[:, :wpad], (tq, wpad))
+    m = jnp.roll(m, -(tq - 1), axis=1)
+    for b in range((tq - 1).bit_length()):
+        rolled = jnp.roll(m, 1 << b, axis=1)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (tq, wpad), 0)
+               >> b) % 2 == 1
+        m = jnp.where(sel, rolled, m)
+    return m[:, :tk]
+
+
+def _rel_ds_to_dtabr(ds, q_start, k_start, ell, wfull):
+    """Transpose of _rel_tile: scatter a [Tq, Tk] ds tile onto the reversed
+    padded table row -> [1, Wfull] (accumulated by the dtable pass; the
+    caller un-reverses). ds must already be zeroed outside the valid
+    region."""
+    tq, tk = ds.shape
+    wpad = _round_up(tq + tk - 1, LANE)
+    base = q_start - k_start + ell - 1
+    s_min = wfull - 1 - base - (tq - 1)
+    d = jnp.pad(ds, ((0, 0), (0, wpad - tk)))
+    d = jnp.roll(d, tq - 1, axis=1)
+    for b in range((tq - 1).bit_length()):
+        rolled = jnp.roll(d, -(1 << b), axis=1)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (tq, wpad), 0)
+               >> b) % 2 == 1
+        d = jnp.where(sel, rolled, d)
+    wg = jnp.sum(d, axis=0, keepdims=True)  # [1, wpad]
+    if wpad > wfull:
+        # Fold the over-wide window back modulo Wfull (transpose of the
+        # periodic tiling in _rel_tile) via static-slice chunks.
+        reps = -(-wpad // wfull)
+        wg = jnp.pad(wg, ((0, 0), (0, reps * wfull - wpad)))
+        folded = wg[:, :wfull]
+        for r in range(1, reps):
+            folded = folded + wg[:, r * wfull:(r + 1) * wfull]
+        full = folded
+    else:
+        full = jnp.pad(wg, ((0, 0), (0, wfull - wpad)))
+    return pltpu.roll(full, s_min % wfull, 1)
+
+
+def _rel_bias_cols(table_h, n_rows, start, width):
+    """jnp twin for the non-kernel sites (dense fallback, streaming-lse
+    chunks): [H, n_rows, width] bias for token cols [start, start+width)."""
+    ell = (table_h.shape[1] + 1) // 2
+    rows = jnp.arange(n_rows)
+    cols = start + jnp.arange(width)
+    idx = jnp.clip(rows[:, None] - cols[None, :] + ell - 1,
+                   0, table_h.shape[1] - 1)
+    return table_h[:, idx].astype(jnp.float32)
+
+
 def _pad_coeff(coeff_hk):
     """[H, deg+1] -> [H, LANE] (zero-padded lanes; kernels read scalars by
     static index so only the first deg+1 lanes matter)."""
@@ -231,23 +332,31 @@ def _make_flash_attention(mm_dtype):
     N >= 8k (where the bias alone would be tens of GB)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
-    def attn(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff):
+    def attn(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff,
+             rel_table):
         return _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
-                        poly_grid, mm_dtype=mm_dtype)
+                        poly_grid, rel_table, mm_dtype=mm_dtype)
 
-    def fwd(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff):
+    def fwd(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff,
+            rel_table):
         out = _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
-                       poly_grid, mm_dtype=mm_dtype)
-        return out, (q, k, v, bias, freqs_cis, poly_coeff, out)
+                       poly_grid, rel_table, mm_dtype=mm_dtype)
+        return out, (q, k, v, bias, freqs_cis, poly_coeff, rel_table, out)
 
     attn.defvjp(fwd, _bwd)
 
-    def flash(q, k, v, scale, bias=None, freqs_cis=None, poly=None):
+    def flash(q, k, v, scale, bias=None, freqs_cis=None, poly=None,
+              rel=None):
         if poly is not None:
-            assert bias is None, "bias and poly are mutually exclusive"
+            assert bias is None and rel is None, \
+                "bias/poly/rel are mutually exclusive"
             coeff_hk, grid = poly
-            return attn(q, k, v, scale, None, freqs_cis, int(grid), coeff_hk)
-        return attn(q, k, v, scale, bias, freqs_cis, 0, None)
+            return attn(q, k, v, scale, None, freqs_cis, int(grid), coeff_hk,
+                        None)
+        if rel is not None:
+            assert bias is None, "bias/poly/rel are mutually exclusive"
+            return attn(q, k, v, scale, None, freqs_cis, 0, None, rel)
+        return attn(q, k, v, scale, bias, freqs_cis, 0, None, None)
 
     return flash
 
@@ -259,7 +368,7 @@ KV_TILE = 512
 
 
 def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
-             interpret=None, mm_dtype=jnp.bfloat16):
+             rel_table=None, interpret=None, mm_dtype=jnp.bfloat16):
     if interpret is None:
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
@@ -268,12 +377,15 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
         return _forward_streaming(q, k, v, scale, bias, freqs_cis,
                                   poly=(poly_coeff, poly_grid)
                                   if poly_coeff is not None else None,
+                                  rel=rel_table,
                                   interpret=interpret, mm_dtype=mm_dtype)
     if poly_coeff is not None:
         # Below the streaming threshold the materialized bias is small —
         # generate it and take the dense path.
         bias = _poly_bias_cols(poly_coeff, poly_grid, q.shape[2], 0,
                                q.shape[2], poly_coeff.shape[1] - 1)
+    elif rel_table is not None:
+        bias = _rel_bias_cols(rel_table, q.shape[2], 0, q.shape[2])
     b, h, n, d = q.shape
     # Asymmetric padding: the KEY axis lives on 128-wide lanes (and is the
     # second matmul's contraction), the QUERY axis on 8-deep sublanes — so
@@ -347,15 +459,18 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
 
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                    scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
-                   poly_grid=0, poly_degree=0):
+                   poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
-    coeff_ref = None
+    coeff_ref = rrow_ref = None
     if has_bias:
         bias_ref = rest[idx]
         idx += 1
     if poly_grid:
         coeff_ref = rest[idx]
+        idx += 1
+    if rel_ell:
+        rrow_ref = rest[idx]
         idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
@@ -390,6 +505,10 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                            pl.program_id(2) * s.shape[0],
                            ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
+    if rel_ell:
+        s = s + _rel_tile((rrow_ref, pl.program_id(1)),
+                          pl.program_id(2) * s.shape[0], ki * kv_tile,
+                          s.shape[0], s.shape[1], rel_ell, rel_wfull)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
 
@@ -413,7 +532,7 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
 
 def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
                        mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
-                       poly=None):
+                       poly=None, rel=None):
     b, h, n, d = q.shape
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -451,6 +570,13 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
         in_specs.append(
             pl.BlockSpec((h, LANE), lambda bi, hi, qi, ki: (0, 0),
                          memory_space=pltpu.VMEM))
+    rel_ell = rel_wfull = 0
+    if rel is not None:
+        rrow, rel_ell, rel_wfull = _rel_prep(rel)
+        inputs.append(rrow)
+        in_specs.append(
+            pl.BlockSpec((h, rel_wfull), lambda bi, hi, qi, ki: (0, 0),
+                         memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
         cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
@@ -470,7 +596,8 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
     kernel = functools.partial(
         _stream_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
-        poly_grid=poly_grid, poly_degree=poly_degree)
+        poly_grid=poly_grid, poly_degree=poly_degree,
+        rel_ell=rel_ell, rel_wfull=rel_wfull)
 
     def kernel_entry(*refs):
         ins = refs[:len(inputs)]
@@ -515,14 +642,16 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                           *rest, dq_ref, acc_ref, scale, n_valid, kv_tile,
                           has_bias, has_rope, mm_dtype, dqr_ref=None,
-                          poly_grid=0, poly_degree=0):
+                          poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
-    coeff_ref = None
+    coeff_ref = rrow_ref = None
     if has_bias:
         bias_ref = rest[idx]; idx += 1
     if poly_grid:
         coeff_ref = rest[idx]; idx += 1
+    if rel_ell:
+        rrow_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
 
@@ -551,6 +680,10 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            pl.program_id(2) * s.shape[0],
                            ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
+    if rel_ell:
+        s = s + _rel_tile((rrow_ref, pl.program_id(1)),
+                          pl.program_id(2) * s.shape[0], ki * kv_tile,
+                          s.shape[0], s.shape[1], rel_ell, rel_wfull)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
@@ -580,14 +713,17 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            *rest, dk_ref, dv_ref, dk_acc, dv_acc, scale,
                            n_valid, kv_tile, has_bias, has_rope, mm_dtype,
-                           dkr_ref=None, poly_grid=0, poly_degree=0):
+                           dkr_ref=None, poly_grid=0, poly_degree=0,
+                           rel_ell=0, rel_wfull=0):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
-    coeff_ref = None
+    coeff_ref = rrow_ref = None
     if has_bias:
         bias_ref = rest[idx]; idx += 1
     if poly_grid:
         coeff_ref = rest[idx]; idx += 1
+    if rel_ell:
+        rrow_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
 
@@ -618,6 +754,10 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            qi * s.shape[0], ki * kv_tile,
                            s.shape[0], s.shape[1], poly_grid, poly_degree,
                            n_valid)
+    if rel_ell:
+        s = s + _rel_tile((rrow_ref, pl.program_id(1)),
+                          qi * s.shape[0], ki * kv_tile,
+                          s.shape[0], s.shape[1], rel_ell, rel_wfull)
     col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
@@ -778,7 +918,76 @@ def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             0.0).astype(dcoeff_ref.dtype)
 
 
-def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None):
+def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                              rrow_ref, *rest, dtabr_ref, acc_ref, scale,
+                              n_valid, kv_tile, has_rope, mm_dtype,
+                              rel_ell, rel_wfull):
+    """Relative-table gradient, fully in-kernel (the Toeplitz transpose):
+    each tile's ds rows are bit-unshifted onto the reversed table row and
+    accumulated per head in a [1, Wfull] scratch — no [H, N, N] tensor.
+    Same grid/accumulation protocol as the dcoeff pass (h, q, kv, batch
+    innermost; full-array [H, Wfull] output revisited; caller un-reverses).
+    ds is zeroed outside the valid region (padded rows/cols) so junk bias
+    values never contribute."""
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+
+    hi = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    bi = pl.program_id(3)
+    first = (qi == 0) & (ki == 0) & (bi == 0)
+
+    @pl.when(first & (hi == 0))
+    def _():
+        dtabr_ref[...] = jnp.zeros_like(dtabr_ref)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    tq, tk = s.shape
+    q_start, k_start = qi * tq, ki * kv_tile
+    s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
+                      rel_ell, rel_wfull)
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0])
+    gv = jax.lax.dot_general(
+        g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0])
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    ds = jnp.where((rows < n_valid) & (col < n_valid), ds, 0.0)
+    acc_ref[...] += _rel_ds_to_dtabr(ds, q_start, k_start, rel_ell,
+                                     rel_wfull)
+
+    last = ((qi == pl.num_programs(1) - 1) & (ki == pl.num_programs(2) - 1)
+            & (bi == pl.num_programs(3) - 1))
+
+    @pl.when(last)
+    def _():
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, dtabr_ref.shape, 0) == hi
+        dtabr_ref[...] += jnp.where(
+            sel, jnp.broadcast_to(acc_ref[...], dtabr_ref.shape),
+            0.0).astype(dtabr_ref.dtype)
+
+
+def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None, rel=None):
     """Per-row logsumexp recomputed with the streaming forward structure (in
     plain jnp over kv chunks — small [Tq] state, no N×N materialization).
     poly=(coeff_hk, grid): the chunk's bias columns are generated on the fly
@@ -799,6 +1008,8 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None):
             coeff_hk, grid = poly
             s = s + _poly_bias_cols(coeff_hk, grid, nq, start, kt.shape[2],
                                     coeff_hk.shape[1] - 1)[None]
+        if rel is not None:
+            s = s + _rel_bias_cols(rel, nq, start, kt.shape[2])[None]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         l = l * jnp.exp(m - m_new) + jnp.sum(
             jnp.exp(s - m_new[..., None]), axis=-1)
@@ -808,7 +1019,7 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None):
 
 def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
                    mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
-                   want_dbias=False, want_dfreqs=False, poly=None):
+                   want_dbias=False, want_dfreqs=False, poly=None, rel=None):
     """Tiled streaming backward. Returns (dq, dk, dv, dbias, dfreqs[,
     dcoeff]): dbias [H, N, N] when want_dbias (batch-accumulated in-kernel —
     same size as the bias input, nothing bigger materializes); dfreqs
@@ -818,12 +1029,16 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     every pass and a 6th return value dcoeff [H, deg+1] is appended
     (in-kernel accumulated — no [H, N, N] tensor in either direction)."""
     b, h, n, d = q.shape
-    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=poly)
+    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=poly, rel=rel)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     poly_grid = poly_degree = 0
     if poly is not None:
         poly_grid = poly[1]
         poly_degree = poly[0].shape[1] - 1
+    rel_ell = rel_wfull = 0
+    rrow = None
+    if rel is not None:
+        rrow, rel_ell, rel_wfull = _rel_prep(rel)
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -858,6 +1073,14 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             memory_space=pltpu.VMEM))
         extra_specs_kv.append(pl.BlockSpec(
             (h, LANE), lambda bi, hi, ki, qi: (0, 0),
+            memory_space=pltpu.VMEM))
+    if rel is not None:
+        extra.append(rrow)
+        extra_specs_q.append(pl.BlockSpec(
+            (h, rel_wfull), lambda bi, hi, qi, ki: (0, 0),
+            memory_space=pltpu.VMEM))
+        extra_specs_kv.append(pl.BlockSpec(
+            (h, rel_wfull), lambda bi, hi, ki, qi: (0, 0),
             memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
@@ -950,7 +1173,8 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     dq_kernel = functools.partial(
         _stream_bwd_dq_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
-        poly_grid=poly_grid, poly_degree=poly_degree)
+        poly_grid=poly_grid, poly_degree=poly_degree,
+        rel_ell=rel_ell, rel_wfull=rel_wfull)
     dq_out_specs = [pl.BlockSpec((1, 1, q_tile, d),
                                  lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                                  memory_space=pltpu.VMEM)]
@@ -985,7 +1209,8 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     dkv_kernel = functools.partial(
         _stream_bwd_dkv_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
-        poly_grid=poly_grid, poly_degree=poly_degree)
+        poly_grid=poly_grid, poly_degree=poly_degree,
+        rel_ell=rel_ell, rel_wfull=rel_wfull)
     dkv_out_specs = [
         pl.BlockSpec((1, 1, kv_tile, d),
                      lambda bi, hi, ki, qi: (bi, hi, ki, 0),
@@ -1110,10 +1335,53 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             interpret=interpret,
         )(*common_inputs, *extra)[:, :poly_degree + 1]
 
+    dtable = None
+    if rel is not None:
+        dtable_kernel = functools.partial(
+            _stream_bwd_dtable_kernel, scale=scale, n_valid=n,
+            kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
+            rel_ell=rel_ell, rel_wfull=rel_wfull)
+        dt_extra_specs = [pl.BlockSpec((h, rel_wfull),
+                                       lambda hi, qi, ki, bi: (0, 0),
+                                       memory_space=pltpu.VMEM)]
+        if has_rope:
+            qmap = lambda hi, qi, ki, bi: (hi, qi, 0)   # noqa: E731
+            kmap = lambda hi, qi, ki, bi: (hi, ki, 0)   # noqa: E731
+            dt_extra_specs.extend([
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_tile, d // 2), qmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_tile, d // 2), kmap,
+                             memory_space=pltpu.VMEM),
+            ])
+
+        def dtable_entry(*refs):
+            n_in = len(common_inputs) + len(extra)
+            ins, out_ref, acc = refs[:n_in], refs[n_in], refs[n_in + 1]
+            dtable_kernel(*ins, dtabr_ref=out_ref, acc_ref=acc)
+
+        dtabr = pl.pallas_call(
+            dtable_entry,
+            grid=(h, nq // q_tile, nk // kv_tile, b),
+            in_specs=bh_inner() + dt_extra_specs,
+            out_specs=pl.BlockSpec((h, rel_wfull),
+                                   lambda hi, qi, ki, bi: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, rel_wfull), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, rel_wfull), jnp.float32)],
+            interpret=interpret,
+        )(*common_inputs, *extra)
+        # rrow coordinates -> table coordinates: un-reverse, drop lane pad.
+        dtable = dtabr[:, ::-1][:, :rel.shape[1]].astype(rel.dtype)
+
     dfreqs = None
     if want_dfreqs:
         dfreqs = _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis)
-    return dq, dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs, dcoeff
+    return (dq, dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs, dcoeff,
+            dtable)
 
 
 def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
@@ -1143,38 +1411,41 @@ def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
 
 
 def _bwd(scale, poly_grid, residuals, g):
-    q, k, v, bias, freqs_cis, poly_coeff, out = residuals
+    q, k, v, bias, freqs_cis, poly_coeff, rel_table, out = residuals
     n = q.shape[2]
     if n > STREAMING_THRESHOLD:
         # Tiled streaming backward for EVERY PE regime: dbias accumulates
-        # over batch in-kernel (dcoeff for the generated-polynomial mode);
-        # learnable rope-mixed frequencies get their (dcos, dsin) from the
-        # rotated-space gradients. Nothing [Nq, Nk] materializes beyond the
-        # bias-shaped tensors the caller already holds (nothing at all for
-        # the polynomial mode).
+        # over batch in-kernel (dcoeff / dtable for the generated-bias
+        # modes); learnable rope-mixed frequencies get their (dcos, dsin)
+        # from the rotated-space gradients. Nothing [Nq, Nk] materializes
+        # beyond the bias-shaped tensors the caller already holds (nothing
+        # at all for the polynomial / relative generated modes).
         learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
-        dq, dk, dv, dbias, dfreqs, dcoeff = _bwd_streaming(
+        dq, dk, dv, dbias, dfreqs, dcoeff, dtable = _bwd_streaming(
             scale, q, k, v, bias, freqs_cis, out, g,
             interpret=jax.default_backend() != "tpu",
             want_dbias=bias is not None, want_dfreqs=learnable_freqs,
-            poly=(poly_coeff, poly_grid) if poly_coeff is not None else None)
+            poly=(poly_coeff, poly_grid) if poly_coeff is not None else None,
+            rel=rel_table)
         if freqs_cis is not None and dfreqs is None:
             # Fixed axial frequencies carry no learnable dependence; a zero
             # cotangent is exact (and is dropped upstream).
             dfreqs = (jnp.zeros_like(freqs_cis[0]),
                       jnp.zeros_like(freqs_cis[1]))
-        return dq, dk, dv, dbias, dfreqs, dcoeff
+        return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
 
-    def oracle(q, k, v, bias, freqs_cis, poly_coeff):
+    def oracle(q, k, v, bias, freqs_cis, poly_coeff, rel_table):
         if poly_coeff is not None:
             bias = _poly_bias_cols(poly_coeff, poly_grid, n, 0, n,
                                    poly_coeff.shape[1] - 1)
+        elif rel_table is not None:
+            bias = _rel_bias_cols(rel_table, n, 0, n)
         return reference_attention.attention(
             q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
 
-    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis, poly_coeff)
-    dq, dk, dv, dbias, dfreqs, dcoeff = vjp(g)
-    return dq, dk, dv, dbias, dfreqs, dcoeff
+    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis, poly_coeff, rel_table)
+    dq, dk, dv, dbias, dfreqs, dcoeff, dtable = vjp(g)
+    return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
 
 
 # Production default (bf16 multiplies, f32 accumulation) and a full-f32

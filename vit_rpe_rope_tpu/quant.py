@@ -118,10 +118,13 @@ def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl):
                     params[f"{prefix}.attn.qkv.weight:scale"])
     qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
     if impl == "flash":
-        if isinstance(bias, tuple):  # streaming-poly marker (_logits_bias)
+        if isinstance(bias, tuple):  # generated-bias marker (_logits_bias)
+            gen = ({"poly": (bias[0], cfg.grid_size)}
+                   if cfg.pos_encoding == "polynomial"
+                   else {"rel": bias[0]})
             attn_out = flash_attention.flash_attention(
                 qkv[0], qkv[1], qkv[2], dh ** -0.5, freqs_cis=freqs_cis,
-                poly=(bias[0], cfg.grid_size))
+                **gen)
         else:
             attn_out = flash_attention.flash_attention(
                 qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
