@@ -146,8 +146,9 @@ def test_int8_agreement_on_trained_model():
     assert agree >= 0.95, agree
 
 
-def test_apply_q8_streaming_poly_marker(monkeypatch):
-    """int8 serving of polynomial PE above the (patched-down) streaming
+@pytest.mark.parametrize("pe", ["polynomial", "relative"])
+def test_apply_q8_streaming_generated_bias_marker(monkeypatch, pe):
+    """int8 serving of a bias-mode PE above the (patched-down) streaming
     threshold must route through the in-kernel-generated bias marker — the
     quantized twin of vit's _logits_bias dispatch — and stay close to the
     fp32 forward."""
@@ -155,7 +156,7 @@ def test_apply_q8_streaming_poly_marker(monkeypatch):
 
     monkeypatch.setattr(fa, "STREAMING_THRESHOLD", 128)
     cfg = ViTConfig(img_size=48, patch_size=4, in_chans=1, embed_dim=32,
-                    depth=2, num_heads=2, pos_encoding="polynomial",
+                    depth=2, num_heads=2, pos_encoding=pe,
                     attention_impl="flash")  # grid 12 -> N=145 > 128
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     qparams = quant.quantize_params(params, cfg)
