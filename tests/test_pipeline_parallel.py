@@ -186,4 +186,5 @@ def test_apply_pp_streaming_generated_bias_marker(monkeypatch, pe):
         in_specs=(specs, P(DATA_AXIS)), out_specs=P(DATA_AXIS))
     out = jax.jit(fwd)(stacked, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=5e-3, atol=2e-3)
+                               rtol=5e-3,
+                               atol=5e-4 if pe == "polynomial" else 2e-3)

@@ -65,6 +65,8 @@ def make_server(predictor, host: str, port: int, max_batch: int):
     max_body = max_batch * el + (1 << 20)
 
     class Handler(BaseHTTPRequestHandler):
+        timeout = 30  # socket timeout: a stalled client can't pin a thread
+
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -92,16 +94,20 @@ def make_server(predictor, host: str, port: int, max_batch: int):
                 n = -1
             if n < 0 or n > max_body:
                 # Reject WITHOUT buffering: Content-Length is client-supplied
-                # and must not size an unbounded allocation. Drain the body
-                # in small discarded chunks first (bounded memory) so the
-                # client's send completes instead of hitting a broken pipe
-                # before it can read the 413.
+                # and must not size an unbounded allocation. Moderately
+                # oversized bodies are drained in small discarded chunks
+                # (bounded memory AND bounded work) so the client's send
+                # completes and it can read the 413; absurd declarations are
+                # not drained at all — reply and close the connection.
                 remaining = max(n, 0)
-                while remaining > 0:
-                    chunk = self.rfile.read(min(1 << 16, remaining))
-                    if not chunk:
-                        break
-                    remaining -= len(chunk)
+                if remaining <= (8 << 20):  # drain cap
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 16, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                else:
+                    self.close_connection = True
                 self._reply(413, {"error": f"body of {n} bytes exceeds the "
                                            f"server limit ({max_body})"})
                 return

@@ -224,7 +224,7 @@ def _logits_bias(pe_mod, params, cfg: ViTConfig, rng=None):
             and not attn_drop_possible):
         if cfg.pos_encoding == "polynomial":
             return (pe_mod.coeff_per_head(params, cfg),)
-        return (params["pos_embed.relative_position_bias_table"],)
+        return (pe_mod.table_per_head(params, cfg),)
     return pe_mod.attn_bias(params, cfg)
 
 

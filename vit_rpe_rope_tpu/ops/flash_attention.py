@@ -573,6 +573,12 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
     rel_ell = rel_wfull = 0
     if rel is not None:
         rrow, rel_ell, rel_wfull = _rel_prep(rel)
+        # The kernels WRAP out-of-range indices (the lse recompute CLAMPS):
+        # both are only exercised by padding, which carries zero ds — but a
+        # table narrower than the sequence would make valid positions
+        # disagree between the two. Reject it.
+        assert n <= rel_ell, (
+            f"relative table covers L={rel_ell} tokens < sequence {n}")
         inputs.append(rrow)
         in_specs.append(
             pl.BlockSpec((h, rel_wfull), lambda bi, hi, qi, ki: (0, 0),
@@ -1039,6 +1045,8 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     rrow = None
     if rel is not None:
         rrow, rel_ell, rel_wfull = _rel_prep(rel)
+        assert n <= rel_ell, (
+            f"relative table covers L={rel_ell} tokens < sequence {n}")
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)

@@ -41,6 +41,14 @@ def buffers(cfg):
     }
 
 
+def table_per_head(params, cfg):
+    """[num_heads, 2L-1] learnable table — consumed by the streaming flash
+    path, which expands Toeplitz bias tiles in-kernel from it instead of
+    materializing [H, L, L] (ops/flash_attention._rel_tile)."""
+    del cfg
+    return params["pos_embed.relative_position_bias_table"]
+
+
 def attn_bias(params, cfg):
     """-> [num_heads, L, L] gathered from the table."""
     table = params["pos_embed.relative_position_bias_table"]
