@@ -339,9 +339,11 @@ def _make_flash_attention(mm_dtype):
 
     def fwd(q, k, v, scale, bias, freqs_cis, poly_grid, poly_coeff,
             rel_table):
-        out = _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
-                       poly_grid, rel_table, mm_dtype=mm_dtype)
-        return out, (q, k, v, bias, freqs_cis, poly_coeff, rel_table, out)
+        out, lse = _forward(q, k, v, scale, bias, freqs_cis, poly_coeff,
+                            poly_grid, rel_table, mm_dtype=mm_dtype,
+                            want_lse=True)
+        return out, (q, k, v, bias, freqs_cis, poly_coeff, rel_table, out,
+                     lse)
 
     attn.defvjp(fwd, _bwd)
 
@@ -368,7 +370,11 @@ KV_TILE = 512
 
 
 def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
-             rel_table=None, interpret=None, mm_dtype=jnp.bfloat16):
+             rel_table=None, interpret=None, mm_dtype=jnp.bfloat16,
+             want_lse=False):
+    """want_lse=True: returns (out, lse) for streaming shapes and
+    (out, None) for dense ones (the dense backward is an oracle vjp and
+    needs no lse residual)."""
     if interpret is None:
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
@@ -378,7 +384,8 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
                                   poly=(poly_coeff, poly_grid)
                                   if poly_coeff is not None else None,
                                   rel=rel_table,
-                                  interpret=interpret, mm_dtype=mm_dtype)
+                                  interpret=interpret, mm_dtype=mm_dtype,
+                                  want_lse=want_lse)
     if poly_coeff is not None:
         # Below the streaming threshold the materialized bias is small —
         # generate it and take the dense path.
@@ -447,7 +454,8 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
         out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
         interpret=interpret,
     )(*inputs)
-    return out[:, :, :n, :]
+    out = out[:, :, :n, :]
+    return (out, None) if want_lse else out
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +467,8 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
 
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                    scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
-                   poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0):
+                   poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0,
+                   lse_ref=None):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     coeff_ref = rrow_ref = None
@@ -528,11 +537,20 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
     @pl.when(ki == n_kv - 1)
     def _():
         out_ref[0, 0] = (acc_ref[...] / l_ref[...]).astype(out_ref.dtype)
+        if lse_ref is not None:
+            # Per-row logsumexp, saved for the backward: eliminates the
+            # whole jnp lse-recompute pass (which costs as much as the
+            # attention forward) AND keeps the backward's p = exp(s - lse)
+            # consistent with the kernel's own bias conventions.
+            lse_ref[0, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
                        mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
-                       poly=None, rel=None):
+                       poly=None, rel=None, want_lse=False):
+    """want_lse=True additionally returns the per-row logsumexp [B, H, N]
+    (saved by the custom_vjp as a residual — the backward then skips its
+    whole lse-recompute pass)."""
     b, h, n, d = q.shape
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -605,21 +623,29 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
         poly_grid=poly_grid, poly_degree=poly_degree,
         rel_ell=rel_ell, rel_wfull=rel_wfull)
 
+    out_specs = [pl.BlockSpec((1, 1, q_tile, d),
+                              lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, nq, d), q.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, 1, q_tile, 1),
+                                      lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
+
     def kernel_entry(*refs):
         ins = refs[:len(inputs)]
-        out_ref = refs[len(inputs)]
-        acc_ref, m_ref, l_ref = refs[len(inputs) + 1:]
-        kernel(*ins, out_ref=out_ref, acc_ref=acc_ref, m_ref=m_ref,
-               l_ref=l_ref)
+        outs = refs[len(inputs):len(inputs) + len(out_shape)]
+        acc_ref, m_ref, l_ref = refs[len(inputs) + len(out_shape):]
+        kernel(*ins, out_ref=outs[0], acc_ref=acc_ref, m_ref=m_ref,
+               l_ref=l_ref, lse_ref=outs[1] if want_lse else None)
 
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel_entry,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, q_tile, d),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        out_specs=out_specs if want_lse else out_specs[0],
+        out_shape=out_shape if want_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((q_tile, d), jnp.float32),
             pltpu.VMEM((q_tile, 1), jnp.float32),
@@ -627,7 +653,10 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
         ],
         interpret=interpret,
     )(*inputs)
-    return out[:, :, :n, :]
+    if want_lse:
+        out, lse = res
+        return out[:, :, :n, :], lse[:, :, :n, 0]
+    return res[:, :, :n, :]
 
 
 # ---------------------------------------------------------------------------
@@ -1025,7 +1054,8 @@ def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None, rel=None):
 
 def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
                    mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
-                   want_dbias=False, want_dfreqs=False, poly=None, rel=None):
+                   want_dbias=False, want_dfreqs=False, poly=None, rel=None,
+                   lse=None):
     """Tiled streaming backward. Returns (dq, dk, dv, dbias, dfreqs[,
     dcoeff]): dbias [H, N, N] when want_dbias (batch-accumulated in-kernel —
     same size as the bias input, nothing bigger materializes); dfreqs
@@ -1035,7 +1065,12 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     every pass and a 6th return value dcoeff [H, deg+1] is appended
     (in-kernel accumulated — no [H, N, N] tensor in either direction)."""
     b, h, n, d = q.shape
-    lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=poly, rel=rel)
+    if lse is None:
+        # Fallback for direct callers (tests): recompute the per-row
+        # logsumexp. The custom_vjp path passes the forward-saved lse,
+        # skipping this pass (it costs as much as the attention forward).
+        lse = _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=poly,
+                             rel=rel)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     poly_grid = poly_degree = 0
     if poly is not None:
@@ -1419,7 +1454,7 @@ def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
 
 
 def _bwd(scale, poly_grid, residuals, g):
-    q, k, v, bias, freqs_cis, poly_coeff, rel_table, out = residuals
+    q, k, v, bias, freqs_cis, poly_coeff, rel_table, out, lse = residuals
     n = q.shape[2]
     if n > STREAMING_THRESHOLD:
         # Tiled streaming backward for EVERY PE regime: dbias accumulates
@@ -1434,7 +1469,7 @@ def _bwd(scale, poly_grid, residuals, g):
             interpret=jax.default_backend() != "tpu",
             want_dbias=bias is not None, want_dfreqs=learnable_freqs,
             poly=(poly_coeff, poly_grid) if poly_coeff is not None else None,
-            rel=rel_table)
+            rel=rel_table, lse=lse)
         if freqs_cis is not None and dfreqs is None:
             # Fixed axial frequencies carry no learnable dependence; a zero
             # cotangent is exact (and is dropped upstream).
