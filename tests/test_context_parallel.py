@@ -108,6 +108,146 @@ def test_ring_attention_grads_match_oracle():
                                    rtol=1e-4, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.parametrize("kind", ["poly", "rel"])
+def test_ring_generated_bias_matches_oracle(kind):
+    """Per-chunk GENERATED bias (raw coefficients / Toeplitz table shipped to
+    the ring, tiles built per (q-shard, kv-chunk)) == oracle attention on the
+    materialized bias — forward AND the PE-parameter gradient. This is the
+    composition that lets relative/polynomial long-N training scale across
+    chips (VERDICT round-2 item 1)."""
+    from vit_rpe_rope_tpu.ops import flash_attention as fa
+
+    mesh = cp_mesh(seq=4)
+    b, h, n, d, grid = 1, 2, 16, 8, 4   # n = grid² = 16 (no cls here; the
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)  # generators still zero
+    q = jax.random.normal(ks[0], (b, h, n, d))       # row/col 0 = "cls")
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    w = jax.random.normal(ks[4], (b, h, n, d))
+    if kind == "poly":
+        arg = 0.3 * jax.random.normal(ks[3], (h, 3))  # degree 2
+        dense = fa._poly_bias_cols(arg, grid, n, 0, n, 2)
+    else:
+        arg = jax.random.normal(ks[3], (h, 2 * n - 1))
+        dense = fa._rel_bias_cols(arg, n, 0, n)
+    tok = P(None, None, MODEL_AXIS, None)
+
+    def ring(qq, kk, vv, aa):
+        return cp.ring_attention(qq, kk, vv, 0.5, MODEL_AXIS, n_valid=n,
+                                 bias_kind=kind, bias_arg=aa, bias_grid=grid)
+
+    fn = shard_map(ring, mesh, in_specs=(tok, tok, tok, P()),
+                   out_specs=tok)
+
+    def loss_ring(q, k, v, a):
+        return jnp.sum(fn(q, k, v, a) * w)
+
+    def loss_ref(q, k, v, a):
+        if kind == "poly":
+            bias = fa._poly_bias_cols(a, grid, n, 0, n, 2)
+        else:
+            bias = fa._rel_bias_cols(a, n, 0, n)
+        return jnp.sum(reference_attention.attention(
+            q, k, v, 0.5, bias=bias) * w)
+
+    out = jax.jit(fn)(q, k, v, arg)
+    ref = reference_attention.attention(q, k, v, 0.5, bias=dense)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2, 3)))(q, k, v, arg)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, arg)
+    for gr, gf, name in zip(g_ring, g_ref, ["q", "k", "v", "pe-param"]):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("kind", ["poly", "rel", None])
+def test_ring_flash_matches_oracle(kind):
+    """The Pallas-kernel ring (custom-VJP: streaming chunk kernels at global
+    offsets, O(N/R) residuals, hand-written ring backward with rotating
+    dk/dv accumulators) == oracle attention, forward and every gradient, at
+    f32 matmul precision. PE-parameter gradients come out complete because
+    the shard partials are psummed by the shard_map transpose of the
+    replicated input."""
+    from vit_rpe_rope_tpu.ops import flash_attention as fa
+
+    mesh = cp_mesh(seq=4)
+    b, h, n, d, grid = 1, 2, 16, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    w = jax.random.normal(ks[4], (b, h, n, d))
+    gsz = grid if kind == "poly" else 0
+    if kind == "poly":
+        arg = 0.3 * jax.random.normal(ks[3], (h, 3))
+        mkb = lambda a: fa._poly_bias_cols(a, grid, n, 0, n, 2)  # noqa: E731
+    elif kind == "rel":
+        arg = jax.random.normal(ks[3], (h, 2 * n - 1))
+        mkb = lambda a: fa._rel_bias_cols(a, n, 0, n)            # noqa: E731
+    else:
+        arg, mkb = None, lambda a: None                          # noqa: E731
+    tok = P(None, None, MODEL_AXIS, None)
+
+    def ring(qq, kk, vv, aa=None):
+        return cp.ring_flash_attention(0.5, MODEL_AXIS, n, kind, gsz,
+                                       jnp.float32, qq, kk, vv, aa)
+
+    if kind is None:
+        fn = shard_map(ring, mesh, in_specs=(tok, tok, tok), out_specs=tok)
+        args = (q, k, v)
+        argnums = (0, 1, 2)
+        names = ["q", "k", "v"]
+    else:
+        fn = shard_map(ring, mesh, in_specs=(tok, tok, tok, P()),
+                       out_specs=tok)
+        args = (q, k, v, arg)
+        argnums = (0, 1, 2, 3)
+        names = ["q", "k", "v", "pe-param"]
+
+    out = jax.jit(fn)(*args)
+    ref = reference_attention.attention(q, k, v, 0.5, bias=mkb(arg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ring(*a):
+        return jnp.sum(fn(*a) * w)
+
+    def loss_ref(*a):
+        bias = mkb(a[3]) if kind is not None else None
+        return jnp.sum(reference_attention.attention(
+            a[0], a[1], a[2], 0.5, bias=bias) * w)
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=argnums))(*args)
+    g_ref = jax.grad(loss_ref, argnums=argnums)(*args)
+    for gr, gf, name in zip(g_ring, g_ref, names):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("pe", ["relative", "polynomial"])
+def test_apply_cp_long_sequence_matches_streaming(pe):
+    """CP forward at N=2305 (> STREAMING_THRESHOLD, tokens sharded 8 ways)
+    == the single-device streaming flash forward — the round-3 'done' bar:
+    the long-N bias-PE capability no longer stops at one chip. The bias at
+    this N would be [H, 2305, 2305]; the ring shards generate [H, 289, 289]
+    tiles instead."""
+    cfg = ViTConfig(img_size=192, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=1, num_heads=2, pos_encoding=pe,
+                    attention_impl="flash")
+    assert cfg.seq_len == 2305
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 192, 192, 1))
+    ref = jax.jit(lambda p, xx: vit.apply(p, xx, cfg))(params, x)
+
+    mesh = cp_mesh(seq=8, data=1)
+    fwd = shard_map(lambda p, xx: cp.apply_cp(p, xx, cfg), mesh,
+                    in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS))
+    out = jax.jit(fwd)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
 def test_apply_cp_matches_apply(pe):

@@ -167,11 +167,17 @@ def _poly_tile(coeff_ref, q_start, k_start, tq, tk, grid, degree, n_valid,
     return bias
 
 
-def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree):
-    """jnp twin of _poly_tile for the non-kernel sites (dense fallback and
-    the streaming-lse recompute): [H, n_rows, width] bias for token columns
-    [start, start+width) against all rows."""
-    rows = jnp.arange(n_rows)
+def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree,
+                    row_start=0, n_valid=None):
+    """jnp twin of _poly_tile for the non-kernel sites (dense fallback, the
+    streaming-lse recompute, and the CP ring's per-chunk generation):
+    [H, n_rows, width] bias for token rows [row_start, row_start+n_rows)
+    against token columns [start, start+width). `start`/`row_start` may be
+    traced (the ring passes its rotating chunk offset and shard row offset).
+    n_valid (static) zeroes rows/cols at padded global indices — their dist
+    polynomial is finite but unbounded, and exp() of garbage positive bias
+    would overflow (same rationale as _poly_tile's n_valid mask)."""
+    rows = row_start + jnp.arange(n_rows)
     cols = start + jnp.arange(width)
     xq, yq = (rows - 1) % grid, (rows - 1) // grid
     xk, yk = (cols - 1) % grid, (cols - 1) // grid
@@ -180,6 +186,8 @@ def _poly_bias_cols(coeff_hk, grid, n_rows, start, width, degree):
     powers = jnp.stack([dist ** kk for kk in range(degree + 1)], axis=-1)
     bias = jnp.einsum("nwk,hk->hnw", powers, coeff_hk.astype(jnp.float32))
     mask = (rows[:, None] > 0) & (cols[None, :] > 0)
+    if n_valid is not None:
+        mask = mask & (rows[:, None] < n_valid) & (cols[None, :] < n_valid)
     return jnp.where(mask[None], bias, 0.0)
 
 
@@ -273,11 +281,15 @@ def _rel_ds_to_dtabr(ds, q_start, k_start, ell, wfull):
     return pltpu.roll(full, s_min % wfull, 1)
 
 
-def _rel_bias_cols(table_h, n_rows, start, width):
+def _rel_bias_cols(table_h, n_rows, start, width, row_start=0):
     """jnp twin for the non-kernel sites (dense fallback, streaming-lse
-    chunks): [H, n_rows, width] bias for token cols [start, start+width)."""
+    chunks, CP ring per-chunk generation): [H, n_rows, width] bias for token
+    rows [row_start, row_start+n_rows) × cols [start, start+width); offsets
+    may be traced. Out-of-table offsets (padded tokens) clamp to the table
+    edge — finite values that the callers' key masks / zero cotangents
+    neutralize."""
     ell = (table_h.shape[1] + 1) // 2
-    rows = jnp.arange(n_rows)
+    rows = row_start + jnp.arange(n_rows)
     cols = start + jnp.arange(width)
     idx = jnp.clip(rows[:, None] - cols[None, :] + ell - 1,
                    0, table_h.shape[1] - 1)
@@ -350,13 +362,14 @@ def _make_flash_attention(mm_dtype):
     def flash(q, k, v, scale, bias=None, freqs_cis=None, poly=None,
               rel=None):
         if poly is not None:
-            assert bias is None and rel is None, \
-                "bias/poly/rel are mutually exclusive"
+            if bias is not None or rel is not None:
+                raise ValueError("bias/poly/rel are mutually exclusive")
             coeff_hk, grid = poly
             return attn(q, k, v, scale, None, freqs_cis, int(grid), coeff_hk,
                         None)
         if rel is not None:
-            assert bias is None, "bias/poly/rel are mutually exclusive"
+            if bias is not None:
+                raise ValueError("bias/poly/rel are mutually exclusive")
             return attn(q, k, v, scale, None, freqs_cis, 0, None, rel)
         return attn(q, k, v, scale, bias, freqs_cis, 0, None, None)
 
@@ -468,7 +481,14 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                    scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
                    poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0,
-                   lse_ref=None):
+                   lse_ref=None, offs_ref=None, chunk_valid=None):
+    """offs_ref (SMEM [2] int32, optional): GLOBAL (row0, col0) offsets of
+    this call's q rows / kv columns — the CP ring passes its shard row
+    offset and rotating chunk column so bias generation and the n_valid
+    mask act in global coordinates. chunk_valid (static): valid columns
+    within this call's kv extent (the chunk tail padded to a kv_tile
+    multiple may sit at global indices < n_valid and must still be
+    masked)."""
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     coeff_ref = rrow_ref = None
@@ -507,19 +527,25 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [Tq, Tkv]
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
     if poly_grid:
         s = s + _poly_tile((coeff_ref, pl.program_id(1)),
-                           pl.program_id(2) * s.shape[0],
-                           ki * kv_tile, s.shape[0], s.shape[1],
+                           row0 + pl.program_id(2) * s.shape[0],
+                           col0 + ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
     if rel_ell:
         s = s + _rel_tile((rrow_ref, pl.program_id(1)),
-                          pl.program_id(2) * s.shape[0], ki * kv_tile,
+                          row0 + pl.program_id(2) * s.shape[0],
+                          col0 + ki * kv_tile,
                           s.shape[0], s.shape[1], rel_ell, rel_wfull)
-    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col0 + col_l < n_valid
+    if chunk_valid is not None:
+        mask = mask & (col_l < chunk_valid)
+    s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_ref[...]  # [Tq, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -594,9 +620,11 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
         # The kernels WRAP out-of-range indices (the lse recompute CLAMPS):
         # both are only exercised by padding, which carries zero ds — but a
         # table narrower than the sequence would make valid positions
-        # disagree between the two. Reject it.
-        assert n <= rel_ell, (
-            f"relative table covers L={rel_ell} tokens < sequence {n}")
+        # disagree between the two. Reject it (ValueError, not assert: a
+        # `python -O` run must not silently wrap the Toeplitz window).
+        if n > rel_ell:
+            raise ValueError(
+                f"relative table covers L={rel_ell} tokens < sequence {n}")
         inputs.append(rrow)
         in_specs.append(
             pl.BlockSpec((h, rel_wfull), lambda bi, hi, qi, ki: (0, 0),
@@ -660,6 +688,303 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 
 
 # ---------------------------------------------------------------------------
+# Chunk drivers for DISTRIBUTED (ring / context-parallel) flash attention:
+# the same streaming kernels, invoked on one shard's q rows against ONE
+# rotating kv chunk at GLOBAL (row0, col0) offsets (traced scalars via an
+# SMEM input — program-id tile coordinates alone can't express the ring's
+# global position). The ring in parallel/context_parallel.py merges the
+# per-chunk (out, lse) partials with the online-softmax identity and runs
+# the backward with the globally-merged lse, which makes each chunk's p
+# tiles exactly the global softmax's — the blockwise formulation across
+# chips (SURVEY.md §5.7; no reference counterpart).
+# ---------------------------------------------------------------------------
+
+def _smem_offs(row0, col0):
+    offs = jnp.stack([jnp.asarray(row0, jnp.int32),
+                      jnp.asarray(col0, jnp.int32)])
+    spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return offs, spec
+
+
+def _chunk_extras(poly, rel, h, n_valid):
+    """(extra inputs, per-call specs, kernel kwargs) for the generated-bias
+    modes — no dense bias / rope here (the CP ring rotates q/k outside)."""
+    extra, specs, kw = [], [], {}
+    if poly is not None:
+        coeff_hk, poly_grid = poly
+        kw.update(poly_grid=poly_grid, poly_degree=coeff_hk.shape[1] - 1)
+        extra.append(_pad_coeff(coeff_hk))
+        specs.append((h, LANE))
+    if rel is not None:
+        rrow, rel_ell, rel_wfull = _rel_prep(rel)
+        if n_valid > rel_ell:
+            raise ValueError(
+                f"relative table covers L={rel_ell} tokens < sequence "
+                f"{n_valid}")
+        kw.update(rel_ell=rel_ell, rel_wfull=rel_wfull)
+        extra.append(rrow)
+        specs.append((h, rel_wfull))
+    return extra, specs, kw
+
+
+def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
+                        rel=None, interpret=None, mm_dtype=jnp.bfloat16,
+                        q_tile=512, kv_tile=KV_TILE):
+    """Partial flash forward: this shard's q rows [B, H, Nl, D] (global rows
+    [row0, row0+Nl)) against ONE kv chunk [B, H, Nc, D] (global columns
+    [col0, col0+Nc)); row0/col0 may be traced. Returns (out_c, lse_c):
+    out_c normalized WITHIN the chunk, lse_c [B, H, Nl] its logsumexp — the
+    pair the ring's online-softmax merge consumes. Bias tiles for the
+    poly/rel modes are generated in-kernel at the global coordinates."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, nl, d = q.shape
+    nc = k.shape[2]
+    q_tile = min(q_tile, _round_up(nl, 8))
+    nq = _round_up(nl, q_tile)
+    kv_tile = min(kv_tile, _round_up(nc, LANE))
+    nk = _round_up(nc, kv_tile)
+    qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
+    offs, offs_spec = _smem_offs(row0, col0)
+    extra, extra_shapes, kw = _chunk_extras(poly, rel, h, n_valid)
+
+    grid = (b, h, nq // q_tile, nk // kv_tile)
+    in_specs = [
+        pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(s, lambda bi, hi, qi, ki: (0, 0),
+                      memory_space=pltpu.VMEM) for s in extra_shapes] \
+      + [offs_spec]
+
+    kernel = functools.partial(
+        _stream_kernel, scale=scale, n_valid=n_valid, kv_tile=kv_tile,
+        has_bias=False, has_rope=False, mm_dtype=mm_dtype,
+        chunk_valid=nc if nc != nk else None, **kw)
+
+    def entry(*refs):
+        n_in = 3 + len(extra)
+        ins = refs[:n_in]
+        offs_ref = refs[n_in]
+        out_ref, lse_ref = refs[n_in + 1:n_in + 3]
+        acc, m_ref, l_ref = refs[n_in + 3:]
+        kernel(*ins, out_ref=out_ref, acc_ref=acc, m_ref=m_ref, l_ref=l_ref,
+               lse_ref=lse_ref, offs_ref=offs_ref)
+
+    out, lse = pl.pallas_call(
+        entry,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, q_tile, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, d), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, *extra, offs)
+    return out[:, :, :nl, :], lse[:, :, :nl, 0]
+
+
+def streaming_chunk_bwd(q, k, v, g, lse, delta, scale, row0, col0, n_valid,
+                        poly=None, rel=None, interpret=None,
+                        mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+    """Partial flash backward for one ring step: gradients of this shard's
+    q rows against one kv chunk, with the GLOBALLY-merged lse and delta
+    (Σ_d g·out). Returns (dq_partial [B, H, Nl, D] f32 — summed over chunks
+    by the ring, dk_chunk, dv_chunk [B, H, Nc, D] f32 — complete for this
+    (shard, chunk) pair and ring-accumulated onto the chunk's owner,
+    dparam_partial — [H, deg+1] dcoeff / [H, 2L-1] dtable contribution or
+    None). Same flash identities as _bwd_streaming, at global offsets."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, nl, d = q.shape
+    nc = k.shape[2]
+    q_tile = min(q_tile, _round_up(nl, 8))
+    nq = _round_up(nl, q_tile)
+    kv_tile = min(kv_tile, _round_up(nc, LANE))
+    nk = _round_up(nc, kv_tile)
+    qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
+    gp = _pad_seq(g, nq, 2)
+    lse_p = _pad_seq(lse, nq, 2)[..., None]
+    delta_p = _pad_seq(delta, nq, 2)[..., None]
+    offs, offs_spec = _smem_offs(row0, col0)
+    extra, extra_shapes, kw = _chunk_extras(poly, rel, h, n_valid)
+    common = [qp, kp, vp, gp, lse_p, delta_p]
+    chunk_valid = nc if nc != nk else None
+
+    def common_specs(imap_q, imap_kv):
+        return [
+            pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d), imap_kv,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d), imap_kv,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
+        ]
+
+    # dq pass: grid (b, h, q, kv-innermost).
+    dq_kernel = functools.partial(
+        _stream_bwd_dq_kernel, scale=scale, n_valid=n_valid, kv_tile=kv_tile,
+        has_bias=False, has_rope=False, mm_dtype=mm_dtype,
+        chunk_valid=chunk_valid, **kw)
+
+    def dq_entry(*refs):
+        n_in = 6 + len(extra)
+        dq_kernel(*refs[:n_in], offs_ref=refs[n_in], dq_ref=refs[n_in + 1],
+                  acc_ref=refs[n_in + 2])
+
+    imap_q = lambda bi, hi, qi, ki: (bi, hi, qi, 0)       # noqa: E731
+    imap_kv = lambda bi, hi, qi, ki: (bi, hi, ki, 0)      # noqa: E731
+    dq = pl.pallas_call(
+        dq_entry,
+        grid=(b, h, nq // q_tile, nk // kv_tile),
+        in_specs=common_specs(imap_q, imap_kv)
+        + [pl.BlockSpec(s, lambda bi, hi, qi, ki: (0, 0),
+                        memory_space=pltpu.VMEM) for s in extra_shapes]
+        + [offs_spec],
+        out_specs=pl.BlockSpec((1, 1, q_tile, d), imap_q,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
+        interpret=interpret,
+    )(*common, *extra, offs)[:, :, :nl, :]
+
+    # dkv pass: grid (b, h, kv, q-innermost).
+    dkv_kernel = functools.partial(
+        _stream_bwd_dkv_kernel, scale=scale, n_valid=n_valid,
+        kv_tile=kv_tile, has_bias=False, has_rope=False, mm_dtype=mm_dtype,
+        chunk_valid=chunk_valid, **kw)
+
+    def dkv_entry(*refs):
+        n_in = 6 + len(extra)
+        dkv_kernel(*refs[:n_in], offs_ref=refs[n_in], dk_ref=refs[n_in + 1],
+                   dv_ref=refs[n_in + 2], dk_acc=refs[n_in + 3],
+                   dv_acc=refs[n_in + 4])
+
+    jmap_q = lambda bi, hi, ki, qi: (bi, hi, qi, 0)       # noqa: E731
+    jmap_kv = lambda bi, hi, ki, qi: (bi, hi, ki, 0)      # noqa: E731
+    dk, dv = pl.pallas_call(
+        dkv_entry,
+        grid=(b, h, nk // kv_tile, nq // q_tile),
+        in_specs=common_specs(jmap_q, jmap_kv)
+        + [pl.BlockSpec(s, lambda bi, hi, ki, qi: (0, 0),
+                        memory_space=pltpu.VMEM) for s in extra_shapes]
+        + [offs_spec],
+        out_specs=[
+            pl.BlockSpec((1, 1, kv_tile, d), jmap_kv,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_tile, d), jmap_kv,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((kv_tile, d), jnp.float32),
+                        pltpu.VMEM((kv_tile, d), jnp.float32)],
+        interpret=interpret,
+    )(*common, *extra, offs)
+    dk, dv = dk[:, :, :nc, :], dv[:, :, :nc, :]
+
+    dparam = None
+    if poly is not None:
+        dcoeff_kernel = functools.partial(
+            _stream_bwd_dcoeff_kernel, scale=scale, n_valid=n_valid,
+            kv_tile=kv_tile, has_rope=False, mm_dtype=mm_dtype,
+            chunk_valid=chunk_valid, poly_grid=kw["poly_grid"],
+            poly_degree=kw["poly_degree"])
+
+        def dcoeff_entry(*refs):
+            dcoeff_kernel(*refs[:7], offs_ref=refs[7], dcoeff_ref=refs[8],
+                          acc_ref=refs[9])
+
+        bmap_q = lambda hi, qi, ki, bi: (bi, hi, qi, 0)   # noqa: E731
+        bmap_kv = lambda hi, qi, ki, bi: (bi, hi, ki, 0)  # noqa: E731
+        dparam = pl.pallas_call(
+            dcoeff_entry,
+            grid=(h, nq // q_tile, nk // kv_tile, b),
+            in_specs=[
+                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, LANE), lambda hi, qi, ki, bi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                offs_spec,
+            ],
+            out_specs=pl.BlockSpec((h, LANE), lambda hi, qi, ki, bi: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, LANE), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, LANE), jnp.float32)],
+            interpret=interpret,
+        )(*common, *extra, offs)[:, :kw["poly_degree"] + 1]
+    elif rel is not None:
+        rel_wfull = kw["rel_wfull"]
+        dtable_kernel = functools.partial(
+            _stream_bwd_dtable_kernel, scale=scale, n_valid=n_valid,
+            kv_tile=kv_tile, has_rope=False, mm_dtype=mm_dtype,
+            chunk_valid=chunk_valid, rel_ell=kw["rel_ell"],
+            rel_wfull=rel_wfull)
+
+        def dtable_entry(*refs):
+            dtable_kernel(*refs[:7], offs_ref=refs[7], dtabr_ref=refs[8],
+                          acc_ref=refs[9])
+
+        bmap_q = lambda hi, qi, ki, bi: (bi, hi, qi, 0)   # noqa: E731
+        bmap_kv = lambda hi, qi, ki, bi: (bi, hi, ki, 0)  # noqa: E731
+        dtabr = pl.pallas_call(
+            dtable_entry,
+            grid=(h, nq // q_tile, nk // kv_tile, b),
+            in_specs=[
+                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, rel_wfull), lambda hi, qi, ki, bi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                offs_spec,
+            ],
+            out_specs=pl.BlockSpec((h, rel_wfull),
+                                   lambda hi, qi, ki, bi: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, rel_wfull), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, rel_wfull), jnp.float32)],
+            interpret=interpret,
+        )(*common, *extra, offs)
+        dparam = dtabr[:, ::-1][:, :rel.shape[1]]
+    return dq, dk, dv, dparam
+
+
+# ---------------------------------------------------------------------------
 # Streaming backward (long sequences, SURVEY.md §7 hard-part #3): recompute
 # p tiles from saved per-row logsumexp, never materializing [Nq, Nk].
 # Standard flash bwd identities, per tile (i = query row, j = key col):
@@ -677,7 +1002,8 @@ def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
 def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                           *rest, dq_ref, acc_ref, scale, n_valid, kv_tile,
                           has_bias, has_rope, mm_dtype, dqr_ref=None,
-                          poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0):
+                          poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0,
+                          offs_ref=None, chunk_valid=None):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     coeff_ref = rrow_ref = None
@@ -708,19 +1034,25 @@ def _stream_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         q.astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
     if poly_grid:
         s = s + _poly_tile((coeff_ref, pl.program_id(1)),
-                           pl.program_id(2) * s.shape[0],
-                           ki * kv_tile, s.shape[0], s.shape[1],
+                           row0 + pl.program_id(2) * s.shape[0],
+                           col0 + ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
     if rel_ell:
         s = s + _rel_tile((rrow_ref, pl.program_id(1)),
-                          pl.program_id(2) * s.shape[0], ki * kv_tile,
+                          row0 + pl.program_id(2) * s.shape[0],
+                          col0 + ki * kv_tile,
                           s.shape[0], s.shape[1], rel_ell, rel_wfull)
-    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col0 + col_l < n_valid
+    if chunk_valid is not None:
+        mask = mask & (col_l < chunk_valid)
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
     gv = jax.lax.dot_general(  # g·vᵀ  [Tq, Tkv]
         g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
@@ -749,7 +1081,8 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                            *rest, dk_ref, dv_ref, dk_acc, dv_acc, scale,
                            n_valid, kv_tile, has_bias, has_rope, mm_dtype,
                            dkr_ref=None, poly_grid=0, poly_degree=0,
-                           rel_ell=0, rel_wfull=0):
+                           rel_ell=0, rel_wfull=0, offs_ref=None,
+                           chunk_valid=None):
     idx = 0
     bias_ref = cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     coeff_ref = rrow_ref = None
@@ -782,19 +1115,24 @@ def _stream_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         q.astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
     if poly_grid:
         s = s + _poly_tile((coeff_ref, pl.program_id(1)),
-                           qi * s.shape[0], ki * kv_tile,
+                           row0 + qi * s.shape[0], col0 + ki * kv_tile,
                            s.shape[0], s.shape[1], poly_grid, poly_degree,
                            n_valid)
     if rel_ell:
         s = s + _rel_tile((rrow_ref, pl.program_id(1)),
-                          qi * s.shape[0], ki * kv_tile,
+                          row0 + qi * s.shape[0], col0 + ki * kv_tile,
                           s.shape[0], s.shape[1], rel_ell, rel_wfull)
-    col = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col0 + col_l < n_valid
+    if chunk_valid is not None:
+        mask = mask & (col_l < chunk_valid)
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])  # lse ref [1,1,Tq,1] -> [Tq,1]
     g = g_ref[0, 0].astype(jnp.float32)
     dv_acc[...] += jax.lax.dot_general(  # pᵀ g  [Tkv, D]
@@ -878,7 +1216,8 @@ def _stream_bwd_dbias_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                               coeff_ref, *rest, dcoeff_ref, acc_ref, scale,
                               n_valid, kv_tile, has_rope, mm_dtype,
-                              poly_grid, poly_degree):
+                              poly_grid, poly_degree, offs_ref=None,
+                              chunk_valid=None):
     """Polynomial-coefficient gradient, fully in-kernel:
     dcoeff[h, m] = Σ_{b,i,j} ds[b,h,i,j] · dist(i,j)^m · clsmask(i,j).
     Grid is (h, q-tiles, kv-tiles, BATCH innermost) like the dbias pass, but
@@ -918,13 +1257,18 @@ def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     tq, tk = s.shape
-    q_start, k_start = qi * tq, ki * kv_tile
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
+    q_start, k_start = row0 + qi * tq, col0 + ki * kv_tile
     bias, dist, valid = _poly_tile((coeff_ref, hi), q_start, k_start, tq, tk,
                                    poly_grid, poly_degree, n_valid,
                                    with_dist=True)
     s = s + bias
-    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col0 + col_l < n_valid
+    if chunk_valid is not None:
+        mask = mask & (col_l < chunk_valid)
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])
     gv = jax.lax.dot_general(
         g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
@@ -956,7 +1300,8 @@ def _stream_bwd_dcoeff_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                               rrow_ref, *rest, dtabr_ref, acc_ref, scale,
                               n_valid, kv_tile, has_rope, mm_dtype,
-                              rel_ell, rel_wfull):
+                              rel_ell, rel_wfull, offs_ref=None,
+                              chunk_valid=None):
     """Relative-table gradient, fully in-kernel (the Toeplitz transpose):
     each tile's ds rows are bit-unshifted onto the reversed table row and
     accumulated per head in a [1, Wfull] scratch — no [H, N, N] tensor.
@@ -994,11 +1339,17 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     tq, tk = s.shape
-    q_start, k_start = qi * tq, ki * kv_tile
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
+    q_start, k_start = row0 + qi * tq, col0 + ki * kv_tile
     s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
                       rel_ell, rel_wfull)
-    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    col = col0 + col_l
+    mask = col < n_valid
+    if chunk_valid is not None:
+        mask = mask & (col_l < chunk_valid)
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])
     gv = jax.lax.dot_general(
         g_ref[0, 0].astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
@@ -1006,7 +1357,7 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32)
     ds = p * (gv - delta_ref[0, 0])
     rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-    ds = jnp.where((rows < n_valid) & (col < n_valid), ds, 0.0)
+    ds = jnp.where((rows < n_valid) & mask, ds, 0.0)
     acc_ref[...] += _rel_ds_to_dtabr(ds, q_start, k_start, rel_ell,
                                      rel_wfull)
 
@@ -1080,8 +1431,9 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
     rrow = None
     if rel is not None:
         rrow, rel_ell, rel_wfull = _rel_prep(rel)
-        assert n <= rel_ell, (
-            f"relative table covers L={rel_ell} tokens < sequence {n}")
+        if n > rel_ell:  # see _forward_streaming: wrap-vs-clamp disagreement
+            raise ValueError(
+                f"relative table covers L={rel_ell} tokens < sequence {n}")
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)

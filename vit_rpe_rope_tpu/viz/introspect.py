@@ -174,8 +174,12 @@ def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
         num_heads = embed_dim // (4 * half)
         if half > 1 and inv_freq[1] > 0:
             # inv_freq[i] = theta^(-i/half) is a buffer in the state_dict
-            # (SURVEY.md Q8) — recover the theta it was built with so the
-            # regenerated frequencies match the checkpoint exactly.
+            # (SURVEY.md Q8) — recover the theta it was built with. The
+            # regenerated frequencies agree with the checkpoint to float32
+            # rounding (theta comes back through a float32-saved buffer, so
+            # theta^(-i/half) for i >= 2 can differ in the last ulp);
+            # consumers needing bit-exactness should read the stored
+            # pos_embed.inv_freq buffer directly.
             kw = dict(rope_theta=float(inv_freq[1] ** -half))
     elif method == "rope-mixed":
         num_heads = int(state["pos_embed.freqs"].shape[1])
