@@ -1,0 +1,104 @@
+"""Long-sequence train-step timing (the VALIDATION.md "streaming" tables).
+
+Full train step (fwd+bwd+update, make_train_step on a 1-device mesh) at
+N = 4,097 (256px/4) or N = 16,385 (512px/4), d128 depth2, every PE mode,
+attention_impl=flash — the regime the streaming kernels own (the XLA path
+cannot run ≥8k: its [B, H, N, N] logits alone exceed HBM).
+
+Usage: python scripts/bench_longseq.py [--n 16385|4097] [--pe MODE ...]
+       [--steps 4] [--impl flash|auto]
+Prints one JSON line per (pe, N): steady-state s/step from chained steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+CONFIGS = {
+    4097: dict(img_size=256, batch=4),
+    16385: dict(img_size=512, batch=2),
+}
+
+
+def run(pe: str, n: int, steps: int, impl: str) -> dict:
+    from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
+    from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
+    from vit_rpe_rope_tpu.models import vit
+    from vit_rpe_rope_tpu.parallel.mesh import (
+        DATA_AXIS, NamedSharding, P, make_mesh)
+    from vit_rpe_rope_tpu.train import train_step as ts
+
+    spec = CONFIGS[n]
+    cfg = ViTConfig(img_size=spec["img_size"], patch_size=4, in_chans=3,
+                    embed_dim=128, depth=2, num_heads=4, pos_encoding=pe,
+                    attention_impl=impl)
+    assert cfg.seq_len == n, (cfg.seq_len, n)
+    batch = spec["batch"]
+    tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
+    mesh = make_mesh(batch_size=batch, num_devices=1)
+    rep = NamedSharding(mesh, P())
+
+    rng = np.random.default_rng(0)
+    n_ex = batch * 2
+    data_x = jax.device_put(
+        rng.integers(0, 256, (n_ex, spec["img_size"], spec["img_size"], 3),
+                     dtype=np.uint8), rep)
+    data_y = jax.device_put((np.arange(n_ex) % 10).astype(np.int32), rep)
+    pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"],
+                             spec["img_size"])
+    tx = ts.make_optimizer(tcfg, 2)
+    params = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    opt = jax.device_put(tx.init(params), rep)
+    fn = ts.make_train_step(cfg, tcfg, mesh, tx, pre)
+    idx = jax.device_put(ts.epoch_indices(jax.random.PRNGKey(1), n_ex,
+                                          batch, True),
+                         NamedSharding(mesh, P(None, DATA_AXIS)))
+
+    t_c0 = time.perf_counter()
+    params, opt, m = fn(params, opt, jnp.asarray([0], jnp.int32),
+                        data_x, data_y, idx)
+    m.block_until_ready()
+    compile_s = time.perf_counter() - t_c0
+    assert np.isfinite(np.asarray(m)[0]), f"non-finite loss {m}"
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt, m = fn(params, opt, jnp.asarray([0], jnp.int32),
+                            data_x, data_y, idx)
+    m.block_until_ready()
+    dt = (time.perf_counter() - t0) / steps
+    return dict(pe=pe, n=n, impl=impl, batch=batch,
+                step_s=round(dt, 4), compile_s=round(compile_s, 1),
+                loss=round(float(np.asarray(m)[0]), 4))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, nargs="*", default=[16385])
+    ap.add_argument("--pe", nargs="*",
+                    default=["rope-axial", "polynomial", "relative"])
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--impl", default="flash")
+    args = ap.parse_args()
+    for n in args.n:
+        for pe in args.pe:
+            print(json.dumps(run(pe, n, args.steps, args.impl)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

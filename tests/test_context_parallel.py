@@ -375,6 +375,10 @@ def test_fit_sequence_parallel_cli(tmp_path):
     assert summary2["history"][0]["epoch"] == 2
 
 
-def test_sequence_parallel_rejects_model_parallel():
+def test_sequence_parallel_composes_with_model_parallel():
+    # Round 3: TP × CP compose (3-axis mesh — tests/test_tp_cp.py); only
+    # pipeline parallelism remains an exclusive use of the 'model' axis.
+    TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
     with pytest.raises(ValueError, match="alternative uses"):
-        TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
+        TrainConfig(dataset="mnist", pipeline_parallel=2,
+                    sequence_parallel=2)

@@ -628,3 +628,42 @@ def test_model_streaming_rel_end_to_end(monkeypatch):
         rtol=5e-3, atol=5e-5)
     np.testing.assert_allclose(got["head.weight"], want["head.weight"],
                                rtol=5e-3, atol=5e-5)
+
+
+@pytest.mark.parametrize("mode", ["none", "rope", "poly", "rel"])
+def test_fused_streaming_backward_matches_separate_passes(mode):
+    """The round-3 ONE-pass backward (_stream_bwd_fused_kernel: dq/dk/dv/
+    dparam from a single (b, h, q, kv) sweep with resident [N, D] output
+    blocks) must reproduce the separate-pass results exactly — same tile
+    math, computed once instead of 3-4×."""
+    b, h, n, d, grid = 1, 2, 2100, 16, 45
+    ks = jax.random.split(jax.random.PRNGKey(20), 6)
+    q, k, v, g = (jax.random.normal(ks[i], (b, h, n, d)) for i in range(4))
+    scale = d ** -0.5
+    poly = rel = freqs = None
+    if mode == "poly":
+        poly = (0.1 * jax.random.normal(ks[4], (h, 3)), grid)
+    elif mode == "rel":
+        rel = 0.5 * jax.random.normal(ks[4], (h, 2 * n - 1))
+    elif mode == "rope":
+        cos = jnp.cos(jax.random.normal(ks[4], (n - 1, d // 2)))
+        sin = jnp.sin(jax.random.normal(ks[5], (n - 1, d // 2)))
+        freqs = (cos, sin)
+    out, lse = fa._forward(q, k, v, scale, None, freqs,
+                           poly[0] if poly else None,
+                           poly[1] if poly else 0, rel, want_lse=True)
+    delta = jnp.sum(g * out, axis=-1)
+    dq1, dk1, dv1, dc1, dt1 = fa._bwd_streaming_fused(
+        scale, q, k, v, freqs, g, lse, delta, interpret=True,
+        mm_dtype=jnp.float32, poly=poly, rel=rel)
+    dq2, dk2, dv2, _, _, dc2, dt2 = fa._bwd_streaming(
+        scale, q, k, v, None, freqs, out, g, interpret=True,
+        mm_dtype=jnp.float32, want_dbias=False, want_dfreqs=False,
+        poly=poly, rel=rel, lse=lse)
+    np.testing.assert_allclose(dq1, dq2, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dk1, dk2, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dv1, dv2, rtol=1e-6, atol=1e-6)
+    if poly is not None:
+        np.testing.assert_allclose(dc1, dc2, rtol=1e-6, atol=1e-6)
+    if rel is not None:
+        np.testing.assert_allclose(dt1, dt2, rtol=1e-6, atol=1e-6)

@@ -139,6 +139,39 @@ def test_data_parallel_predictor_matches_single_device():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_export_replay_matches_single_device(tmp_path):
+    """Round-3 (VERDICT #9): jax.export with shardings — the artifact
+    partitions the batch over the mesh's 'data' axis, records the device
+    count, and replays on the 8-CPU mesh matching the single-device
+    predictor (ragged batches padded up to Exported.nr_devices)."""
+    from vit_rpe_rope_tpu.parallel.mesh import make_mesh
+
+    cfg = ViTConfig(**TINY, pos_encoding="relative")
+    params = vit.init_params(jax.random.PRNGKey(5), cfg)
+    mean, std, native = _mnist_contract(cfg)
+    mesh = make_mesh()  # all 8 virtual CPU devices on the data axis
+    assert mesh.devices.size == 8
+    exported = serving.export_model(params, cfg, mean, std, native,
+                                    platforms=("cpu",), mesh=mesh)
+    assert exported.nr_devices == 8
+    path = serving.save_artifact(str(tmp_path / "sharded"), exported)
+
+    served = serving.Predictor.from_artifact(path)
+    assert served._pad_to == 8
+    single = serving.Predictor.from_params(params, cfg, mean, std, native)
+    rng = np.random.default_rng(6)
+    for batch in (16, 5):  # divisible and ragged
+        images = rng.integers(0, 256, (batch, native, native, 1),
+                              dtype=np.uint8)
+        np.testing.assert_allclose(served.logits(images),
+                                   single.logits(images),
+                                   rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="must divide"):
+        serving.export_model(params, cfg, mean, std, native,
+                             platforms=("cpu",), mesh=mesh, batch=12)
+
+
 def test_predict_cli_end_to_end(tmp_path, capsys):
     cfg, params, ckpt = _save_tiny(tmp_path, "mnist_rope-axial_best.npz",
                                    pos_encoding="rope-axial")

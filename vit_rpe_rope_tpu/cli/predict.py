@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interpret rope-mixed learned frequencies with the "
                         "reference's (head,position) memory scramble "
                         "(SURVEY.md Q1) — use for reference-trained .pth")
+    p.add_argument("--export_data_parallel", type=int, default=1,
+                   help="export a SHARDED artifact: batch partitioned over "
+                        "this many devices ('data' axis); replay requires "
+                        "the same device count (serving.export_model mesh=)")
     p.add_argument("--int8", action="store_true",
                    help="post-training W8A8 quantization: int8 MXU matmuls "
                         "with dynamic per-token activation scales (quant.py)")
@@ -94,13 +98,25 @@ def main(argv=None):
             predictor = serving.Predictor.from_params(
                 params, cfg, mean, std, native, int8=args.int8)
         if args.export:
+            mesh = None
+            if args.export_data_parallel > 1:
+                from vit_rpe_rope_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(num_devices=args.export_data_parallel)
+                if mesh.devices.size != args.export_data_parallel:
+                    raise SystemExit(
+                        f"--export_data_parallel {args.export_data_parallel}"
+                        f": only {mesh.devices.size} devices visible")
             exported = serving.export_model(params, cfg, mean, std, native,
-                                            int8=args.int8)
+                                            int8=args.int8, mesh=mesh)
             path = serving.save_artifact(args.export, exported)
             import os
 
+            shard_note = (f", sharded over {exported.nr_devices} devices"
+                          if exported.nr_devices > 1 else "")
             print(f"Exported {path} ({os.path.getsize(path):,} bytes, "
-                  f"platforms {exported.platforms}, symbolic batch)")
+                  f"platforms {exported.platforms}, symbolic batch"
+                  f"{shard_note})")
 
     if args.input:
         with np.load(args.input) as z:

@@ -99,10 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                           " data parallelism)")
     ext.add_argument("--sequence_parallel", type=int, default=1,
                      help="[extension] sequence/context-parallel degree: "
-                          "shard tokens over the mesh's 'model' axis and run "
-                          "attention as a KV ring over ICI (long-sequence "
-                          "memory scaling; mutually exclusive with "
-                          "--model_parallel)")
+                          "shard tokens over a mesh axis and run attention "
+                          "as a KV ring over ICI (long-sequence memory "
+                          "scaling; composes with --model_parallel into a "
+                          "3-axis data x seq x model mesh)")
     ext.add_argument("--pipeline_parallel", type=int, default=1,
                      help="[extension] pipeline-parallel degree: stage the "
                           "transformer blocks over the mesh's 'model' axis "

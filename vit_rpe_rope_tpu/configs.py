@@ -162,10 +162,11 @@ class TrainConfig:
     # all_gather over ICI). Elementwise-identical trajectory. Requires the
     # flat driver; incompatible with model_parallel > 1.
     zero1: bool = False
-    # Sequence/context parallelism degree: shard tokens over the mesh's
-    # 'model' axis and run attention as a KV ring over ICI
-    # (parallel/context_parallel.py). 1 = no token sharding. Mutually
-    # exclusive with model_parallel (both use the same mesh axis).
+    # Sequence/context parallelism degree: shard tokens over a mesh axis
+    # and run attention as a KV ring over ICI
+    # (parallel/context_parallel.py). 1 = no token sharding. COMPOSES with
+    # model_parallel (3-axis data × seq × model mesh — parallel/tp_cp.py);
+    # mutually exclusive with pipeline_parallel.
     sequence_parallel: int = 1
     # Pipeline parallelism degree: stage the blocks over the mesh's 'model'
     # axis with a GPipe microbatch schedule
@@ -200,11 +201,13 @@ class TrainConfig:
             raise ValueError(
                 f"pp_microbatches must be >= 0 (0 = auto); got "
                 f"{self.pp_microbatches}")
-        if sum(p > 1 for p in (self.model_parallel, self.sequence_parallel,
-                               self.pipeline_parallel)) > 1:
+        if self.pipeline_parallel > 1 and (self.model_parallel > 1
+                                           or self.sequence_parallel > 1):
             raise ValueError(
-                "model_parallel, sequence_parallel and pipeline_parallel are "
-                "alternative uses of the mesh's 'model' axis — pick one")
+                "pipeline_parallel and model/sequence parallelism are "
+                "alternative uses of the mesh's 'model' axis — pick one "
+                "(model_parallel × sequence_parallel DO compose: 3-axis "
+                "data × seq × model mesh)")
         if self.zero1 and (self.model_parallel > 1
                            or self.sequence_parallel > 1
                            or self.pipeline_parallel > 1):

@@ -123,6 +123,219 @@ def _attn_kernel(q_ref, k_ref, v_ref, *rest, out_ref, scale, n_valid,
     out_ref[...] = (out / denom).astype(out_ref.dtype)
 
 
+def _dense_bwd_kernel(q_ref, k_ref, v_ref, g_ref, out_ref, *rest, dq_ref,
+                      dk_ref, dv_ref, dbias_ref=None, dqr_ref=None,
+                      dkr_ref=None, scale, n_valid, has_bias, has_rope,
+                      mm_dtype=jnp.bfloat16):
+    """Dense-regime backward, one batch-block program mirroring _attn_kernel:
+    all heads head-batched on the MXU, the full [BB, H, Nq, Nk] softmax
+    recomputed in VMEM (no lse residual needed — m/denom are a VPU epilogue
+    of the s matmul), then the five flash-identity matmuls in one kernel.
+    XLA's backward materializes p and ds through HBM between its fused
+    GEMMs; here nothing [Nq, Nk]-shaped ever leaves VMEM.
+
+    dbias_ref ([H, Nq, Nk], optional): Σ_batch ds, accumulated across the
+    sequential 1-D batch grid (zeroed at block 0). The generated-bias modes
+    (poly/rel) transpose this to dcoeff/dtable OUTSIDE via the generator's
+    jnp vjp — at dense sizes the [H, N, N] tensor is small (that is what
+    makes this regime dense).
+    dqr/dkr ([BB, H, N, D], optional): rotated-space gradients for the
+    learnable rope-mixed frequency reduction (_rot_grads_to_dfreqs)."""
+    idx = 0
+    bias_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_bias:
+        bias_ref = rest[idx]
+        idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+        idx += 4
+
+    q = q_ref[...].astype(jnp.float32)  # [BB, H, Nq, D]
+    k = k_ref[...].astype(jnp.float32)  # [BB, H, Nk, D]
+    bb, h, nq, d = q.shape
+    nk = k.shape[2]
+    if has_rope:
+        q = _rotate_bh(q, cos_q_ref[...].astype(jnp.float32),
+                       sin_q_ref[...].astype(jnp.float32))
+        k = _rotate_bh(k, cos_k_ref[...].astype(jnp.float32),
+                       sin_k_ref[...].astype(jnp.float32))
+
+    qf = q.reshape(bb * h, nq, d).astype(mm_dtype)
+    kf = k.reshape(bb * h, nk, d).astype(mm_dtype)
+    s = jax.lax.dot_general(
+        qf, kf,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, h, nq, nk) * scale
+    if has_bias:
+        s = s + bias_ref[...][None].astype(jnp.float32)
+    if n_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    pd = p / jnp.sum(p, axis=-1, keepdims=True)  # normalized probabilities
+
+    g = g_ref[...].astype(jnp.float32)
+    gf = g.reshape(bb * h, nq, d).astype(mm_dtype)
+    vf = v_ref[...].reshape(bb * h, nk, d).astype(mm_dtype)
+    pf = pd.reshape(bb * h, nq, nk).astype(mm_dtype)
+    # dv = pᵀ g   [Nk, D]
+    dv = jax.lax.dot_general(
+        pf, gf, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # gv = g vᵀ   [Nq, Nk];  delta = Σ_d g·out;  ds = p ⊙ (gv − delta)
+    gv = jax.lax.dot_general(
+        gf, vf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(bb, h, nq, nk)
+    delta = jnp.sum(g * out_ref[...].astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    ds = pd * (gv - delta)
+    dsf = ds.reshape(bb * h, nq, nk).astype(mm_dtype)
+    dq = scale * jax.lax.dot_general(
+        dsf, kf, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(bb, h, nq, d)
+    dk = scale * jax.lax.dot_general(
+        dsf, qf, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(bb, h, nk, d)
+
+    if dbias_ref is not None:
+        bi = pl.program_id(0)
+
+        @pl.when(bi == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        dbias_ref[...] += jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
+
+    if dqr_ref is not None:
+        dqr_ref[...] = dq.astype(dqr_ref.dtype)
+        dkr_ref[...] = dk.astype(dkr_ref.dtype)
+    if has_rope:  # inverse rotation back to unrotated space
+        dq = _rotate_bh(dq, cos_q_ref[...].astype(jnp.float32),
+                        -sin_q_ref[...].astype(jnp.float32))
+        dk = _rotate_bh(dk, cos_k_ref[...].astype(jnp.float32),
+                        -sin_k_ref[...].astype(jnp.float32))
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(bb, h, nk, d).astype(dv_ref.dtype)
+
+
+def _bwd_dense(scale, q, k, v, bias, freqs_cis, out, g, interpret,
+               mm_dtype=jnp.bfloat16, want_dbias=False, want_dfreqs=False):
+    """Driver for _dense_bwd_kernel: pad to the forward's asymmetric (8, 128)
+    layout, pick the batch block so ~4 [H, Nq, Nk] f32 tiles stay in VMEM,
+    run the 1-D batch grid. Returns (dq, dk, dv, dbias, dfreqs) with the
+    same conventions as _bwd_streaming."""
+    b, h, n, d = q.shape
+    nq = _round_up(n, 8)
+    nk = _round_up(n, LANE)
+    qp = _pad_seq(q, nq, 2)
+    kp = _pad_seq(k, nk, 2)
+    vp = _pad_seq(v, nk, 2)
+    gp = _pad_seq(g, nq, 2)
+    op = _pad_seq(out, nq, 2)
+
+    # Backward holds ~4 concurrent [BB, H, Nq, Nk] f32 tiles (s/p, gv, ds
+    # live ranges overlap) vs the forward's ~2 — halve the block target.
+    bb = max(1, min(b, (1024 * 1024) // (2 * 4 * h * nq * nk)))
+    while b % bb:
+        bb -= 1
+
+    inputs = [qp, kp, vp, gp, op]
+    in_specs = [
+        pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    has_bias = bias is not None
+    has_rope = freqs_cis is not None
+    if has_bias:
+        inputs.append(_pad_seq(_pad_seq(bias, nq, 1), nk, 2))
+        in_specs.append(pl.BlockSpec((h, nq, nk), lambda bi: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_rope:
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        inputs.extend([cos_q, sin_q, cos_k, sin_k])
+        in_specs.extend([
+            pl.BlockSpec((h, npad, d // 2), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for npad in (nq, nq, nk, nk)
+        ])
+
+    kernel = functools.partial(
+        _dense_bwd_kernel, scale=scale, n_valid=n, has_bias=has_bias,
+        has_rope=has_rope, mm_dtype=mm_dtype)
+
+    out_specs = [
+        pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+                 jax.ShapeDtypeStruct((b, h, nk, d), q.dtype),
+                 jax.ShapeDtypeStruct((b, h, nk, d), q.dtype)]
+    if want_dbias:
+        out_specs.append(pl.BlockSpec((h, nq, nk), lambda bi: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((h, nq, nk), jnp.float32))
+    if want_dfreqs:
+        out_specs.extend([
+            pl.BlockSpec((bb, h, nq, d), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, h, nk, d), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+        out_shape.extend([jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
+                          jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)])
+
+    def entry(*refs):
+        ins = refs[:len(inputs)]
+        outs = list(refs[len(inputs):])
+        kw = {}
+        pos = 3
+        if want_dbias:
+            kw["dbias_ref"] = outs[pos]
+            pos += 1
+        if want_dfreqs:
+            kw["dqr_ref"] = outs[pos]
+            kw["dkr_ref"] = outs[pos + 1]
+        kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
+
+    res = pl.pallas_call(
+        entry,
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    dq, dk, dv = res[0], res[1], res[2]
+    pos = 3
+    dbias = None
+    if want_dbias:
+        dbias = res[pos][:, :n, :n]
+        pos += 1
+    dfreqs = None
+    if want_dfreqs:
+        dqr, dkr = res[pos], res[pos + 1]
+        dfreqs = _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis)
+    return dq[:, :, :n, :], dk[:, :, :n, :], dv[:, :, :n, :], dbias, dfreqs
+
+
 def _coeff_scalar(coeff, hi, kk):
     """coeff[hi, kk] as a scalar via a one-hot masked reduction — the coeff
     block is the full [H, LANE] array (Mosaic requires block dims equal to
@@ -357,7 +570,7 @@ def _make_flash_attention(mm_dtype):
         return out, (q, k, v, bias, freqs_cis, poly_coeff, rel_table, out,
                      lse)
 
-    attn.defvjp(fwd, _bwd)
+    attn.defvjp(fwd, functools.partial(_bwd, mm_dtype=mm_dtype))
 
     def flash(q, k, v, scale, bias=None, freqs_cis=None, poly=None,
               rel=None):
@@ -1373,6 +1586,279 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             0.0).astype(dtabr_ref.dtype)
 
 
+def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                             *rest, dq_ref, dk_ref, dv_ref, dparam_ref=None,
+                             acc_ref=None, scale, n_valid, kv_tile,
+                             has_rope, mm_dtype, poly_grid=0, poly_degree=0,
+                             rel_ell=0, rel_wfull=0):
+    """ONE-pass streaming backward (round-3): dq, dk, dv and the PE-parameter
+    gradient from a single (b, h, q, kv) sweep — each tile's s/p/ds are
+    computed ONCE and feed all four results, where the separate-pass design
+    recomputed them 3-4× (for relative the Toeplitz roll-expansion dominated
+    every pass: ROADMAP item 6). The trick is output residency: dq/dk/dv
+    out blocks are the FULL per-(b, h) [N, D] extent, so they stay in VMEM
+    across the whole (q, kv) sweep and accumulate in place — affordable
+    because [N, D] is the problem's O(N) memory, not its O(N²) (N=16,385 ×
+    d32 = 2 MB/block; the driver guards total VMEM and falls back to the
+    separate passes when oversized).
+
+    Handles none/fixed-rope/poly/rel regimes; dense-bias and learnable-
+    frequency modes keep the separate passes (their extra outputs don't fit
+    the residency budget).
+    """
+    idx = 0
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    coeff_ref = rrow_ref = None
+    if poly_grid:
+        coeff_ref = rest[idx]; idx += 1
+    if rel_ell:
+        rrow_ref = rest[idx]; idx += 1
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    first = (qi == 0) & (ki == 0)
+    last = ((qi == pl.num_programs(2) - 1) & (ki == pl.num_programs(3) - 1))
+
+    @pl.when(first)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        if acc_ref is not None:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if dparam_ref is not None:
+        @pl.when(first & (pl.program_id(0) == 0) & (hi == 0))
+        def _():
+            dparam_ref[...] = jnp.zeros_like(dparam_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    if has_rope:
+        q = _rotate(q, cos_q_ref[0].astype(jnp.float32),
+                    sin_q_ref[0].astype(jnp.float32))
+        k = _rotate(k, cos_k_ref[0].astype(jnp.float32),
+                    sin_k_ref[0].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        q.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    tq, tk = s.shape
+    q_start, k_start = qi * tq, ki * kv_tile
+    dist = valid = None
+    if poly_grid:
+        bias, dist, valid = _poly_tile((coeff_ref, hi), q_start, k_start,
+                                       tq, tk, poly_grid, poly_degree,
+                                       n_valid, with_dist=True)
+        s = s + bias
+    if rel_ell:
+        s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
+                          rel_ell, rel_wfull)
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0])
+    g = g_ref[0, 0].astype(jnp.float32)
+    gv = jax.lax.dot_general(
+        g.astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (gv - delta_ref[0, 0])
+
+    dv_c = jax.lax.dot_general(  # pᵀ g  [Tkv, D]
+        p.astype(mm_dtype), g.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_c = scale * jax.lax.dot_general(  # dsᵀ q  [Tkv, D]
+        ds.astype(mm_dtype), q.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_c = scale * jax.lax.dot_general(  # ds k  [Tq, D]
+        ds.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if has_rope:
+        # Inverse rotation per tile (rotation is linear, so inverse-then-sum
+        # equals sum-then-inverse); fixed freqs only here — learnable modes
+        # take the separate-pass path for their dqr/dkr outputs.
+        dq_c = _rotate(dq_c, cos_q_ref[0].astype(jnp.float32),
+                       -sin_q_ref[0].astype(jnp.float32))
+        dk_c = _rotate(dk_c, cos_k_ref[0].astype(jnp.float32),
+                       -sin_k_ref[0].astype(jnp.float32))
+    dq_ref[0, 0, pl.ds(q_start, tq), :] += dq_c
+    dk_ref[0, 0, pl.ds(k_start, tk), :] += dk_c
+    dv_ref[0, 0, pl.ds(k_start, tk), :] += dv_c
+
+    if poly_grid and dparam_ref is not None:
+        dsz = jnp.where(valid, ds, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        row = jnp.zeros((1, LANE), jnp.float32)
+        pw = jnp.ones((tq, tk), jnp.float32)
+        for m in range(poly_degree + 1):
+            row = row + jnp.where(lane == m, jnp.sum(dsz * pw), 0.0)
+            pw = pw * dist
+        acc_ref[...] += row
+    if rel_ell and dparam_ref is not None:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        dsz = jnp.where((rows < n_valid) & (col < n_valid), ds, 0.0)
+        acc_ref[...] += _rel_ds_to_dtabr(dsz, q_start, k_start, rel_ell,
+                                         rel_wfull)
+
+    if dparam_ref is not None:
+        @pl.when(last)
+        def _():
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, dparam_ref.shape, 0) == hi
+            dparam_ref[...] += jnp.where(
+                sel, jnp.broadcast_to(acc_ref[...], dparam_ref.shape),
+                0.0).astype(dparam_ref.dtype)
+
+
+# The fused backward holds per-(b, h) full [N, D] dq/dk/dv blocks plus the
+# [Tq, Tkv] tile temporaries in VMEM; above this budget (v5e: 16 MB/core)
+# fall back to the separate passes.
+_FUSED_BWD_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
+                         mm_dtype=jnp.bfloat16, q_tile=256, kv_tile=KV_TILE,
+                         poly=None, rel=None):
+    """Driver for _stream_bwd_fused_kernel. Returns (dq, dk, dv, dcoeff,
+    dtable) — f32 grads cast by the caller. Pre-conditions (enforced by
+    _bwd's dispatch): no dense bias, no learnable frequencies, VMEM budget
+    respected."""
+    b, h, n, d = q.shape
+    poly_grid = poly_degree = 0
+    rel_ell = rel_wfull = 0
+    rrow = None
+    extra, extra_shapes = [], []
+    if poly is not None:
+        coeff_hk, poly_grid = poly
+        poly_degree = coeff_hk.shape[1] - 1
+        extra.append(_pad_coeff(coeff_hk))
+        extra_shapes.append((h, LANE))
+    if rel is not None:
+        rrow, rel_ell, rel_wfull = _rel_prep(rel)
+        if n > rel_ell:
+            raise ValueError(
+                f"relative table covers L={rel_ell} tokens < sequence {n}")
+        extra.append(rrow)
+        extra_shapes.append((h, rel_wfull))
+
+    q_tile = min(q_tile, _round_up(n, 8))
+    nq = _round_up(n, q_tile)
+    nk = _round_up(n, kv_tile)
+    qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
+    gp = _pad_seq(g, nq, 2)
+    lse_p = _pad_seq(lse, nq, 2)[..., None]
+    delta_p = _pad_seq(delta, nq, 2)[..., None]
+    inputs = [qp, kp, vp, gp, lse_p, delta_p]
+
+    imap_q = lambda bi, hi, qi, ki: (bi, hi, qi, 0)       # noqa: E731
+    imap_kv = lambda bi, hi, qi, ki: (bi, hi, ki, 0)      # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), imap_kv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kv_tile, d), imap_kv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(sh, lambda bi, hi, qi, ki: (0, 0),
+                      memory_space=pltpu.VMEM) for sh in extra_shapes]
+    has_rope = freqs_cis is not None
+    if has_rope:
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        inputs.extend([cos_q, sin_q, cos_k, sin_k])
+        in_specs.extend([
+            pl.BlockSpec((1, q_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_tile, d // 2),
+                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+    kernel = functools.partial(
+        _stream_bwd_fused_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
+        has_rope=has_rope, mm_dtype=mm_dtype,
+        poly_grid=poly_grid, poly_degree=poly_degree,
+        rel_ell=rel_ell, rel_wfull=rel_wfull)
+
+    # dq/dk/dv out blocks are the full per-(b, h) extent — resident across
+    # the (q, kv) sweep, accumulated in place.
+    out_specs = [
+        pl.BlockSpec((1, 1, nq, d), lambda bi, hi, qi, ki: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, d), lambda bi, hi, qi, ki: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, d), lambda bi, hi, qi, ki: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)]
+    scratch = []
+    want_param = poly is not None or rel is not None
+    if want_param:
+        w = LANE if poly is not None else rel_wfull
+        out_specs.append(pl.BlockSpec(
+            (h, w), lambda bi, hi, qi, ki: (0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.float32))
+        scratch.append(pltpu.VMEM((1, w), jnp.float32))
+
+    n_extra_specs = len(extra_shapes)
+    rope_inputs = 4 if has_rope else 0
+
+    def entry(*refs):
+        n_in = 6 + n_extra_specs + rope_inputs
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + len(out_shape)]
+        kw = {}
+        if want_param:
+            kw["dparam_ref"] = outs[3]
+            kw["acc_ref"] = refs[n_in + len(out_shape)]
+        kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
+
+    # Input order must match the kernel's *rest unpacking (and the spec
+    # list built above): 6 common, then extras (coeff / rrow), then the
+    # rope tables.
+    all_inputs = inputs[:6] + extra + inputs[6:]
+    call_kw = {}
+    if not interpret:
+        # The resident [N, D] out blocks + tile temporaries exceed the
+        # compiler's default 16 MB scoped-vmem budget at long N; raise it
+        # (v5e VMEM accommodates this — the driver's _FUSED_BWD_VMEM_BUDGET
+        # bounds the resident blocks well below the physical limit).
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    res = pl.pallas_call(
+        entry,
+        grid=(b, h, nq // q_tile, nk // kv_tile),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **call_kw,
+    )(*all_inputs)
+    dq, dk, dv = res[0][:, :, :n, :], res[1][:, :, :n, :], res[2][:, :, :n, :]
+    dcoeff = dtable = None
+    if poly is not None:
+        dcoeff = res[3][:, :poly_degree + 1]
+    elif rel is not None:
+        dtable = res[3][:, ::-1][:, :rel.shape[1]]
+    return dq, dk, dv, dcoeff, dtable
+
+
 def _streaming_lse(q, k, scale, bias, freqs_cis, n, poly=None, rel=None):
     """Per-row logsumexp recomputed with the streaming forward structure (in
     plain jnp over kv chunks — small [Tq] state, no N×N materialization).
@@ -1805,23 +2291,51 @@ def _rot_grads_to_dfreqs(qp, kp, dqr, dkr, freqs_cis):
     return (dcos.astype(freqs_cis[0].dtype), dsin.astype(freqs_cis[1].dtype))
 
 
-def _bwd(scale, poly_grid, residuals, g):
+def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
     q, k, v, bias, freqs_cis, poly_coeff, rel_table, out, lse = residuals
     n = q.shape[2]
+    learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
+    interpret = jax.default_backend() != "tpu"
     if n > STREAMING_THRESHOLD:
-        # Tiled streaming backward for EVERY PE regime: dbias accumulates
-        # over batch in-kernel (dcoeff / dtable for the generated-bias
-        # modes); learnable rope-mixed frequencies get their (dcos, dsin)
-        # from the rotated-space gradients. Nothing [Nq, Nk] materializes
-        # beyond the bias-shaped tensors the caller already holds (nothing
-        # at all for the polynomial / relative generated modes).
-        learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
+        d_ = q.shape[3]
+        nq_ = _round_up(n, 512)
+        nk_ = _round_up(n, KV_TILE)
+        fused_bytes = ((nq_ + 2 * nk_) * d_ * 4          # resident dq/dk/dv
+                       + 6 * 512 * KV_TILE * 4)          # tile temporaries
+        use_fused = (bias is None and not learnable_freqs and lse is not None
+                     and fused_bytes <= _FUSED_BWD_VMEM_BUDGET)
+        poly = (poly_coeff, poly_grid) if poly_coeff is not None else None
+        if use_fused:
+            # ONE-pass backward: s/p/ds per tile computed once for all of
+            # dq/dk/dv/dparam (the separate passes recompute them 3-4×; for
+            # relative the Toeplitz expansion dominated every pass).
+            delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                            axis=-1)
+            dq, dk, dv, dcoeff, dtable = _bwd_streaming_fused(
+                scale, q, k, v, freqs_cis, g, lse, delta,
+                interpret=interpret, mm_dtype=mm_dtype,
+                poly=poly, rel=rel_table)
+            dq = dq.astype(q.dtype)
+            dk = dk.astype(k.dtype)
+            dv = dv.astype(v.dtype)
+            dbias = None
+            dfreqs = None
+            if freqs_cis is not None:
+                dfreqs = (jnp.zeros_like(freqs_cis[0]),
+                          jnp.zeros_like(freqs_cis[1]))
+            if dcoeff is not None:
+                dcoeff = dcoeff.astype(poly_coeff.dtype)
+            if dtable is not None:
+                dtable = dtable.astype(rel_table.dtype)
+            return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
+        # Separate-pass backward: dense-bias mode (in-kernel batch-
+        # accumulated dbias), learnable rope-mixed frequencies (dqr/dkr
+        # outputs), or shapes whose resident [N, D] blocks exceed VMEM.
         dq, dk, dv, dbias, dfreqs, dcoeff, dtable = _bwd_streaming(
             scale, q, k, v, bias, freqs_cis, out, g,
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret, mm_dtype=mm_dtype,
             want_dbias=bias is not None, want_dfreqs=learnable_freqs,
-            poly=(poly_coeff, poly_grid) if poly_coeff is not None else None,
-            rel=rel_table, lse=lse)
+            poly=poly, rel=rel_table, lse=lse)
         if freqs_cis is not None and dfreqs is None:
             # Fixed axial frequencies carry no learnable dependence; a zero
             # cotangent is exact (and is dropped upstream).
@@ -1829,17 +2343,37 @@ def _bwd(scale, poly_grid, residuals, g):
                       jnp.zeros_like(freqs_cis[1]))
         return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
 
-    def oracle(q, k, v, bias, freqs_cis, poly_coeff, rel_table):
-        if poly_coeff is not None:
-            bias = _poly_bias_cols(poly_coeff, poly_grid, n, 0, n,
-                                   poly_coeff.shape[1] - 1)
-        elif rel_table is not None:
-            bias = _rel_bias_cols(rel_table, n, 0, n)
-        return reference_attention.attention(
-            q, k, v, scale, bias=bias, freqs_cis=freqs_cis)
-
-    _, vjp = jax.vjp(oracle, q, k, v, bias, freqs_cis, poly_coeff, rel_table)
-    dq, dk, dv, dbias, dfreqs, dcoeff, dtable = vjp(g)
+    # Dense regime: head-batched one-kernel tiled backward (the round-2
+    # oracle-recompute vjp is gone — _dense_bwd_kernel runs the five flash
+    # identities with the softmax recomputed in VMEM). Generated-bias modes
+    # materialize their (small, dense-sized) bias for the kernel and
+    # transpose the accumulated dbias back through the generator's jnp vjp.
+    gen_vjp = None
+    if poly_coeff is not None:
+        bias_in, gen_vjp = jax.vjp(
+            lambda c: _poly_bias_cols(c, poly_grid, n, 0, n,
+                                      poly_coeff.shape[1] - 1), poly_coeff)
+    elif rel_table is not None:
+        bias_in, gen_vjp = jax.vjp(
+            lambda t: _rel_bias_cols(t, n, 0, n), rel_table)
+    else:
+        bias_in = bias
+    dq, dk, dv, dbias, dfreqs = _bwd_dense(
+        scale, q, k, v, bias_in, freqs_cis, out, g, interpret,
+        mm_dtype=mm_dtype, want_dbias=bias_in is not None,
+        want_dfreqs=learnable_freqs)
+    dcoeff = dtable = None
+    if poly_coeff is not None:
+        (dcoeff,) = gen_vjp(dbias)
+        dbias = None
+    elif rel_table is not None:
+        (dtable,) = gen_vjp(dbias)
+        dbias = None
+    elif dbias is not None:
+        dbias = dbias.astype(bias.dtype)
+    if freqs_cis is not None and dfreqs is None:
+        dfreqs = (jnp.zeros_like(freqs_cis[0]),
+                  jnp.zeros_like(freqs_cis[1]))
     return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
 
 

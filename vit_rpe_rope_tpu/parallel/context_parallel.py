@@ -34,8 +34,10 @@ Layout contract:
     a generic logits-bias PE without a generator falls back to
     materialize + pre-slice [H, Nl, Npad].
 
-CP and tensor parallelism are alternative uses of the same mesh axis: one run
-picks --sequence_parallel OR --model_parallel (both shard over MODEL_AXIS).
+A lone CP run shards tokens over the 2-axis mesh's 'model' axis; combined
+--sequence_parallel × --model_parallel runs compose on the 3-axis
+('data', 'seq', 'model') mesh instead (parallel/tp_cp.py), reusing this
+module's ring over the 'seq' axis with head-sharded shards.
 """
 
 from __future__ import annotations

@@ -17,11 +17,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
-              model_parallel: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh.
+              model_parallel: int = 1, devices=None,
+              seq_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh — or, when BOTH seq_parallel > 1 and
+    model_parallel > 1, the 3-axis ('data', 'seq', 'model') mesh composing
+    sequence parallelism (KV ring over 'seq') with tensor parallelism
+    (head/MLP sharding over 'model'). 'model' is fastest-varying so TP's
+    two-psums-per-block ride adjacent ICI links; the seq ring hops at
+    stride TP (Megatron axis-ordering convention).
 
     Uses as many devices as divide evenly into both the device count and the
     (per-step global) batch size, so every shard gets identical static shapes.
@@ -29,23 +36,29 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     n = min(n, len(devices))
-    if n % model_parallel != 0:
+    model_total = model_parallel * seq_parallel
+    if n % model_total != 0:
         raise ValueError(
-            f"device count {n} not divisible by model_parallel={model_parallel}")
-    n_data = n // model_parallel
+            f"device count {n} not divisible by model_parallel="
+            f"{model_parallel} × seq_parallel={seq_parallel}")
+    n_data = n // model_total
     if batch_size is not None:
         n_data = math.gcd(n_data, batch_size)
-    n_use = n_data * model_parallel
+    n_use = n_data * model_total
     if n_use < n:
         import warnings
 
         warnings.warn(
             f"make_mesh: using {n_use} of {n} devices — batch_size="
-            f"{batch_size} is not divisible by the {n // model_parallel}"
+            f"{batch_size} is not divisible by the {n // model_total}"
             f"-way data axis (shards need identical static shapes). Pick a "
             f"batch size divisible by the device count to use all devices.",
             stacklevel=2)
-    arr = np.array(devices[:n_use]).reshape(n_data, model_parallel)
+    if seq_parallel > 1 and model_parallel > 1:
+        arr = np.array(devices[:n_use]).reshape(n_data, seq_parallel,
+                                                model_parallel)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    arr = np.array(devices[:n_use]).reshape(n_data, model_total)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -59,26 +59,64 @@ def make_infer_fn(cfg: ViTConfig, mean, std, native_size: int,
 
 def export_model(params, cfg: ViTConfig, mean, std, native_size: int,
                  batch: int | None = None, platforms=("tpu", "cpu"),
-                 int8: bool = False) -> jax_export.Exported:
+                 int8: bool = False, mesh=None) -> jax_export.Exported:
     """AOT-lower inference to a multi-platform Exported with params embedded
     as constants. batch=None exports a symbolic batch dimension ("b") —
     callable at ANY batch size; an int pins a static batch (marginally
     faster launches, fixed shape). int8=True quantizes (quant.py) before
-    lowering — the artifact carries int8 weights."""
+    lowering — the artifact carries int8 weights.
+
+    mesh: export a SHARDED computation for multi-chip batch serving — the
+    batch dimension is partitioned over the mesh's 'data' axis (params ride
+    replicated), and the artifact records the shardings + device count
+    (Exported.nr_devices). Replay needs the same number of devices but no
+    model code, exactly like the single-device artifact; the symbolic batch
+    becomes "<n_data>*b" so every callable batch divides the axis
+    (Predictor pads ragged batches up to Exported.nr_devices). Sharded
+    exports are single-platform (jax.export limitation) — the first entry
+    of `platforms` wins."""
     if int8 and not _is_quantized_state(params):
         from vit_rpe_rope_tpu import quant
 
         params = quant.quantize_params(params, cfg)
     infer = make_infer_fn(cfg, mean, std, native_size, int8=int8)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    fn = jax.jit(lambda images: infer(params, images))
+    if mesh is None:
+        fn = jax.jit(lambda images: infer(params, images))
+        if batch is None:
+            (b,) = jax_export.symbolic_shape("b")
+        else:
+            b = int(batch)
+        spec = jax.ShapeDtypeStruct(
+            (b, native_size, native_size, cfg.in_chans), jnp.uint8)
+        return jax_export.export(fn, platforms=tuple(platforms))(spec)
+
+    from jax.sharding import Mesh
+
+    from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, NamedSharding, P
+
+    # Normalize to a FLAT ('data',) mesh over all the given mesh's devices:
+    # the artifact's recorded AbstractMesh is then reconstructible at replay
+    # from nothing but nr_devices (Predictor.from_artifact builds the same
+    # shape), and every chip serves batch shards.
+    mesh = Mesh(mesh.devices.reshape(-1), (DATA_AXIS,))
+    n_data = mesh.devices.size
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    params = jax.device_put(params, rep)
+    fn = jax.jit(lambda images: infer(params, images),
+                 in_shardings=batch_sh, out_shardings=batch_sh)
     if batch is None:
-        (b,) = jax_export.symbolic_shape("b")
+        (b,) = jax_export.symbolic_shape(f"{n_data}*b")
     else:
+        if batch % n_data:
+            raise ValueError(
+                f"static batch {batch} must divide the {n_data}-way data "
+                f"axis")
         b = int(batch)
     spec = jax.ShapeDtypeStruct((b, native_size, native_size, cfg.in_chans),
                                 jnp.uint8)
-    return jax_export.export(fn, platforms=tuple(platforms))(spec)
+    return jax_export.export(fn, platforms=(platforms[0],))(spec)
 
 
 def save_artifact(path: str, exported: jax_export.Exported) -> str:
@@ -177,9 +215,32 @@ class Predictor:
     def from_artifact(cls, path: str):
         exported = load_artifact(path)
         (spec,) = exported.in_avals
-        return cls(jax.jit(exported.call),
+        if exported.nr_devices > 1:
+            # Sharded artifact (export_model(mesh=...)): rebuild a mesh of
+            # the recorded device count and replay under the artifact's own
+            # shardings (in/out_shardings_jax); ragged batches pad up to
+            # nr_devices so the symbolic "<n>*b" batch constraint always
+            # holds (padding rows are sliced off the logits).
+            devices = jax.devices()
+            if len(devices) < exported.nr_devices:
+                raise ValueError(
+                    f"artifact was exported for {exported.nr_devices} "
+                    f"devices; this process has {len(devices)}")
+            from jax.sharding import Mesh
+
+            # Mirror export_model's flat ('data',) mesh — the axis layout
+            # the artifact's NamedShardings were recorded against.
+            mesh = Mesh(np.array(devices[:exported.nr_devices]), ("data",))
+            call = jax.jit(
+                exported.call,
+                in_shardings=exported.in_shardings_jax(mesh)[0],
+                out_shardings=exported.out_shardings_jax(mesh)[0])
+        else:
+            call = jax.jit(exported.call)
+        return cls(call,
                    tuple(int(d) if not jax_export.is_symbolic_dim(d)
-                         else -1 for d in spec.shape)[1:])
+                         else -1 for d in spec.shape)[1:],
+                   pad_to=max(1, exported.nr_devices))
 
     def logits(self, images_u8) -> np.ndarray:
         images_u8 = np.asarray(images_u8)

@@ -103,16 +103,19 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     bundle = datasets.get_dataset(
         tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
-    # TP, CP and PP are alternative uses of the mesh's 'model' axis
-    # (configs.py rejects enabling more than one).
+    # TP and CP COMPOSE on a 3-axis ('data', 'seq', 'model') mesh
+    # (parallel/tp_cp.py); PP is an alternative use of the 'model' axis
+    # (configs.py rejects combining it). A lone CP run keeps the 2-axis
+    # mesh with tokens on 'model' (make_mesh folds seq into it).
     mesh = make_mesh(batch_size=tcfg.batch_size,
                      model_parallel=max(tcfg.model_parallel,
-                                        tcfg.sequence_parallel,
-                                        tcfg.pipeline_parallel))
-    use_tp = tcfg.model_parallel > 1
-    use_cp = tcfg.sequence_parallel > 1
+                                        tcfg.pipeline_parallel),
+                     seq_parallel=tcfg.sequence_parallel)
+    use_tpcp = tcfg.model_parallel > 1 and tcfg.sequence_parallel > 1
+    use_tp = tcfg.model_parallel > 1 and not use_tpcp
+    use_cp = tcfg.sequence_parallel > 1 and not use_tpcp
     use_pp = tcfg.pipeline_parallel > 1
-    if (use_cp or use_pp) and cfg.has_dropout:
+    if (use_cp or use_pp or use_tpcp) and cfg.has_dropout:
         raise ValueError("sequence_parallel/pipeline_parallel do not support "
                          "dropout rates > 0")
     n_micro = tcfg.pp_microbatches or tcfg.pipeline_parallel
@@ -134,7 +137,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             f"(the dropout mask lives on them), so at seq_len={cfg.seq_len} "
             "the streaming flash path is bypassed and each block allocates "
             "O(B*H*N^2) memory", stacklevel=2)
-    if use_tp and cfg.num_heads % tcfg.model_parallel != 0:
+    if (use_tp or use_tpcp) and cfg.num_heads % tcfg.model_parallel != 0:
         raise ValueError(
             f"model_parallel={tcfg.model_parallel} must divide "
             f"num_heads={cfg.num_heads}")
@@ -148,7 +151,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # Index ROWS per epoch (one row = one batch of batch_size examples);
     # grad_accum > 1 folds `accum` consecutive rows into one optimizer step.
     accum = tcfg.grad_accum
-    if accum > 1 and (use_tp or use_cp or use_pp):
+    if accum > 1 and (use_tp or use_cp or use_pp or use_tpcp):
         raise ValueError("grad_accum > 1 is supported on the data-parallel "
                          "drivers only (not with model/sequence/pipeline "
                          "parallelism)")
@@ -180,7 +183,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # per-key) but still fuses k steps per dispatch via lax.scan. ZeRO-1
     # rides the flat driver (it shards the flat moment vectors).
     use_flat = ((k > 1 or tcfg.zero1 or accum > 1)
-                and not use_tp and not use_cp and not use_pp)
+                and not use_tp and not use_cp and not use_pp
+                and not use_tpcp)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -188,7 +192,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
     unflatten_j = jax.jit(
         lambda v: vit.unstack_block_params(flattener.unflatten(v), cfg))
-    if use_tp:
+    if use_tp or use_tpcp:
         # Tensor parallelism: heads/MLP-hidden sharded over 'model'
         # (parallel/tensor_parallel.py). Train state lives in TP layout on
         # the mesh; eval/checkpoints see the reference layout via gather_j
@@ -241,7 +245,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     def opt_to_disk(o):
         o = jax.device_get(o)
-        if use_tp:
+        if use_tp or use_tpcp:
             o = tp.restore_reference_opt_state(o, cfg)
         if use_pp:  # stacked moment dicts -> reference-keyed dicts
             o = jax.tree_util.tree_map(
@@ -271,7 +275,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             lambda l: unflatten_j(l)
             if getattr(l, "ndim", 0) == 1 and l.shape[0] == flattener.total
             else l, o)
-        if use_tp:
+        if use_tp or use_tpcp:
             opt_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s),
                 ts.opt_specs_like(o, param_specs),
@@ -296,7 +300,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             checkpoint.load_train_state(last_path, opt_to_disk(opt_state))
         params = jax.device_put(params, replicated)
         opt_state = opt_from_disk(opt_loaded)
-        if use_tp or use_pp:
+        if use_tp or use_pp or use_tpcp:
             train_params = prepare_j(params)
         else:
             train_params = flatten_j(params) if use_flat else params
@@ -304,7 +308,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    if use_tp:
+    if use_tpcp:
+        train_fn = ts.make_tp_cp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_tp:
         train_fn = ts.make_tp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0))
@@ -356,7 +364,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
                            train_y, epoch_idx, "Training", True, k=stride,
                            epoch=epoch)
-            if use_tp or use_pp:
+            if use_tp or use_pp or use_tpcp:
                 params = gather_j(train_params)
             else:
                 params = unflatten_j(train_params) if use_flat else train_params

@@ -618,6 +618,49 @@ def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         k=k, guard_padded_steps=guard_padded_steps)
 
 
+def make_tp_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                          preprocess, k: int = 1,
+                          guard_padded_steps: bool = True):
+    """Composed 3-axis training step over the ('data', 'seq', 'model') mesh:
+    data parallelism × sequence parallelism (KV ring over 'seq') × tensor
+    parallelism (head/MLP sharding over 'model') — parallel/tp_cp.py.
+    Params must be TP-prepared (tensor_parallel.prepare_tp_params) and
+    placed with tp_param_specs shardings ('seq' unmentioned → replicated
+    across it); the optimizer state mirrors them.
+
+    Gradient synchronization: every grad psums over ('data', 'seq') — each
+    sequence shard back-propagates only its tokens — and the per-head PE
+    params additionally psum over 'model' (each model shard saw only its
+    heads; same rule as make_tp_train_step). Same k-step fusion contract as
+    the other model-axis drivers."""
+    from vit_rpe_rope_tpu import pe as pe_registry
+    from vit_rpe_rope_tpu.configs import PE_KIND_LOGITS_BIAS
+    from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
+    from vit_rpe_rope_tpu.parallel import tp_cp
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
+
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    needs_model_sync = (pe_mod.KIND == PE_KIND_LOGITS_BIAS
+                        or cfg.pos_encoding == "rope-mixed")
+    pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
+
+    def reduce_grads(grads):
+        grads = jax.lax.psum(grads, (DATA_AXIS, SEQ_AXIS))
+        if needs_model_sync:
+            grads = dict(grads)
+            for pk in pe_keys:
+                grads[pk] = jax.lax.psum(grads[pk], MODEL_AXIS)
+        return grads
+
+    proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
+                                 cfg)
+    return _make_model_axis_train_step(
+        cfg, tcfg, mesh, tx, preprocess, apply_fn=tp_cp.apply_tp_cp,
+        reduce_grads=reduce_grads, proto_params=proto,
+        param_specs=tp.tp_param_specs(proto, cfg),
+        k=k, guard_padded_steps=guard_padded_steps)
+
+
 def make_pp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, n_micro: int, k: int = 1,
                        guard_padded_steps: bool = True):
