@@ -653,9 +653,12 @@ def test_fused_streaming_backward_matches_separate_passes(mode):
                            poly[0] if poly else None,
                            poly[1] if poly else 0, rel, want_lse=True)
     delta = jnp.sum(g * out, axis=-1)
+    # Same q_tile as the separate passes → identical accumulation order →
+    # bit-exact comparison (the product default q_tile=256 differs only by
+    # fp32 summation order).
     dq1, dk1, dv1, dc1, dt1 = fa._bwd_streaming_fused(
         scale, q, k, v, freqs, g, lse, delta, interpret=True,
-        mm_dtype=jnp.float32, poly=poly, rel=rel)
+        mm_dtype=jnp.float32, poly=poly, rel=rel, q_tile=512)
     dq2, dk2, dv2, _, _, dc2, dt2 = fa._bwd_streaming(
         scale, q, k, v, None, freqs, out, g, interpret=True,
         mm_dtype=jnp.float32, want_dbias=False, want_dfreqs=False,

@@ -787,6 +787,23 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
 def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
                        mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE,
                        poly=None, rel=None, want_lse=False):
+    if rel is not None and q_tile > 256:
+        # The Toeplitz roll-expansion costs log2(Tq)·Tq·(Tq+Tkv) VPU work
+        # per tile — per OUTPUT element that is log2(Tq)·(Tq+Tkv)/Tkv, so a
+        # shorter q tile is cheaper: 256×512 → 12 vs 512×512 → 18 ops/elem
+        # (measured win on the N=16k relative step; the matmuls stay
+        # MXU-shaped at M=256).
+        q_tile = 256
+    return _forward_streaming_impl(q, k, v, scale, bias, freqs_cis,
+                                   interpret, mm_dtype=mm_dtype,
+                                   q_tile=q_tile, kv_tile=kv_tile, poly=poly,
+                                   rel=rel, want_lse=want_lse)
+
+
+def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
+                            mm_dtype=jnp.bfloat16, q_tile=512,
+                            kv_tile=KV_TILE, poly=None, rel=None,
+                            want_lse=False):
     """want_lse=True additionally returns the per-row logsumexp [B, H, N]
     (saved by the custom_vjp as a residual — the backward then skips its
     whole lse-recompute pass)."""
@@ -1013,187 +1030,22 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
 
 def streaming_chunk_bwd(q, k, v, g, lse, delta, scale, row0, col0, n_valid,
                         poly=None, rel=None, interpret=None,
-                        mm_dtype=jnp.bfloat16, q_tile=512, kv_tile=KV_TILE):
+                        mm_dtype=jnp.bfloat16, q_tile=256, kv_tile=KV_TILE):
     """Partial flash backward for one ring step: gradients of this shard's
     q rows against one kv chunk, with the GLOBALLY-merged lse and delta
     (Σ_d g·out). Returns (dq_partial [B, H, Nl, D] f32 — summed over chunks
     by the ring, dk_chunk, dv_chunk [B, H, Nc, D] f32 — complete for this
     (shard, chunk) pair and ring-accumulated onto the chunk's owner,
     dparam_partial — [H, deg+1] dcoeff / [H, 2L-1] dtable contribution or
-    None). Same flash identities as _bwd_streaming, at global offsets."""
+    None). One FUSED kernel sweep (_stream_bwd_fused_kernel at global
+    offsets) — s/p/ds per tile computed once for all four results."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, h, nl, d = q.shape
-    nc = k.shape[2]
-    q_tile = min(q_tile, _round_up(nl, 8))
-    nq = _round_up(nl, q_tile)
-    kv_tile = min(kv_tile, _round_up(nc, LANE))
-    nk = _round_up(nc, kv_tile)
-    qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
-    gp = _pad_seq(g, nq, 2)
-    lse_p = _pad_seq(lse, nq, 2)[..., None]
-    delta_p = _pad_seq(delta, nq, 2)[..., None]
-    offs, offs_spec = _smem_offs(row0, col0)
-    extra, extra_shapes, kw = _chunk_extras(poly, rel, h, n_valid)
-    common = [qp, kp, vp, gp, lse_p, delta_p]
-    chunk_valid = nc if nc != nk else None
-
-    def common_specs(imap_q, imap_kv):
-        return [
-            pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d), imap_kv,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d), imap_kv,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
-        ]
-
-    # dq pass: grid (b, h, q, kv-innermost).
-    dq_kernel = functools.partial(
-        _stream_bwd_dq_kernel, scale=scale, n_valid=n_valid, kv_tile=kv_tile,
-        has_bias=False, has_rope=False, mm_dtype=mm_dtype,
-        chunk_valid=chunk_valid, **kw)
-
-    def dq_entry(*refs):
-        n_in = 6 + len(extra)
-        dq_kernel(*refs[:n_in], offs_ref=refs[n_in], dq_ref=refs[n_in + 1],
-                  acc_ref=refs[n_in + 2])
-
-    imap_q = lambda bi, hi, qi, ki: (bi, hi, qi, 0)       # noqa: E731
-    imap_kv = lambda bi, hi, qi, ki: (bi, hi, ki, 0)      # noqa: E731
-    dq = pl.pallas_call(
-        dq_entry,
-        grid=(b, h, nq // q_tile, nk // kv_tile),
-        in_specs=common_specs(imap_q, imap_kv)
-        + [pl.BlockSpec(s, lambda bi, hi, qi, ki: (0, 0),
-                        memory_space=pltpu.VMEM) for s in extra_shapes]
-        + [offs_spec],
-        out_specs=pl.BlockSpec((1, 1, q_tile, d), imap_q,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
-        interpret=interpret,
-    )(*common, *extra, offs)[:, :, :nl, :]
-
-    # dkv pass: grid (b, h, kv, q-innermost).
-    dkv_kernel = functools.partial(
-        _stream_bwd_dkv_kernel, scale=scale, n_valid=n_valid,
-        kv_tile=kv_tile, has_bias=False, has_rope=False, mm_dtype=mm_dtype,
-        chunk_valid=chunk_valid, **kw)
-
-    def dkv_entry(*refs):
-        n_in = 6 + len(extra)
-        dkv_kernel(*refs[:n_in], offs_ref=refs[n_in], dk_ref=refs[n_in + 1],
-                   dv_ref=refs[n_in + 2], dk_acc=refs[n_in + 3],
-                   dv_acc=refs[n_in + 4])
-
-    jmap_q = lambda bi, hi, ki, qi: (bi, hi, qi, 0)       # noqa: E731
-    jmap_kv = lambda bi, hi, ki, qi: (bi, hi, ki, 0)      # noqa: E731
-    dk, dv = pl.pallas_call(
-        dkv_entry,
-        grid=(b, h, nk // kv_tile, nq // q_tile),
-        in_specs=common_specs(jmap_q, jmap_kv)
-        + [pl.BlockSpec(s, lambda bi, hi, ki, qi: (0, 0),
-                        memory_space=pltpu.VMEM) for s in extra_shapes]
-        + [offs_spec],
-        out_specs=[
-            pl.BlockSpec((1, 1, kv_tile, d), jmap_kv,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_tile, d), jmap_kv,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((kv_tile, d), jnp.float32),
-                        pltpu.VMEM((kv_tile, d), jnp.float32)],
-        interpret=interpret,
-    )(*common, *extra, offs)
-    dk, dv = dk[:, :, :nc, :], dv[:, :, :nc, :]
-
-    dparam = None
-    if poly is not None:
-        dcoeff_kernel = functools.partial(
-            _stream_bwd_dcoeff_kernel, scale=scale, n_valid=n_valid,
-            kv_tile=kv_tile, has_rope=False, mm_dtype=mm_dtype,
-            chunk_valid=chunk_valid, poly_grid=kw["poly_grid"],
-            poly_degree=kw["poly_degree"])
-
-        def dcoeff_entry(*refs):
-            dcoeff_kernel(*refs[:7], offs_ref=refs[7], dcoeff_ref=refs[8],
-                          acc_ref=refs[9])
-
-        bmap_q = lambda hi, qi, ki, bi: (bi, hi, qi, 0)   # noqa: E731
-        bmap_kv = lambda hi, qi, ki, bi: (bi, hi, ki, 0)  # noqa: E731
-        dparam = pl.pallas_call(
-            dcoeff_entry,
-            grid=(h, nq // q_tile, nk // kv_tile, b),
-            in_specs=[
-                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h, LANE), lambda hi, qi, ki, bi: (0, 0),
-                             memory_space=pltpu.VMEM),
-                offs_spec,
-            ],
-            out_specs=pl.BlockSpec((h, LANE), lambda hi, qi, ki, bi: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h, LANE), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((1, LANE), jnp.float32)],
-            interpret=interpret,
-        )(*common, *extra, offs)[:, :kw["poly_degree"] + 1]
-    elif rel is not None:
-        rel_wfull = kw["rel_wfull"]
-        dtable_kernel = functools.partial(
-            _stream_bwd_dtable_kernel, scale=scale, n_valid=n_valid,
-            kv_tile=kv_tile, has_rope=False, mm_dtype=mm_dtype,
-            chunk_valid=chunk_valid, rel_ell=kw["rel_ell"],
-            rel_wfull=rel_wfull)
-
-        def dtable_entry(*refs):
-            dtable_kernel(*refs[:7], offs_ref=refs[7], dtabr_ref=refs[8],
-                          acc_ref=refs[9])
-
-        bmap_q = lambda hi, qi, ki, bi: (bi, hi, qi, 0)   # noqa: E731
-        bmap_kv = lambda hi, qi, ki, bi: (bi, hi, ki, 0)  # noqa: E731
-        dtabr = pl.pallas_call(
-            dtable_entry,
-            grid=(h, nq // q_tile, nk // kv_tile, b),
-            in_specs=[
-                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kv_tile, d), bmap_kv,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, d), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, q_tile, 1), bmap_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h, rel_wfull), lambda hi, qi, ki, bi: (0, 0),
-                             memory_space=pltpu.VMEM),
-                offs_spec,
-            ],
-            out_specs=pl.BlockSpec((h, rel_wfull),
-                                   lambda hi, qi, ki, bi: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h, rel_wfull), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((1, rel_wfull), jnp.float32)],
-            interpret=interpret,
-        )(*common, *extra, offs)
-        dparam = dtabr[:, ::-1][:, :rel.shape[1]]
+    dq, dk, dv, dcoeff, dtable = _bwd_streaming_fused(
+        scale, q, k, v, None, g, lse, delta, interpret,
+        mm_dtype=mm_dtype, q_tile=q_tile, kv_tile=kv_tile,
+        poly=poly, rel=rel, n_valid=n_valid, row0=row0, col0=col0)
+    dparam = dcoeff if dcoeff is not None else dtable
     return dq, dk, dv, dparam
 
 
@@ -1590,7 +1442,7 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                              *rest, dq_ref, dk_ref, dv_ref, dparam_ref=None,
                              acc_ref=None, scale, n_valid, kv_tile,
                              has_rope, mm_dtype, poly_grid=0, poly_degree=0,
-                             rel_ell=0, rel_wfull=0):
+                             rel_ell=0, rel_wfull=0, chunk_valid=None):
     """ONE-pass streaming backward (round-3): dq, dk, dv and the PE-parameter
     gradient from a single (b, h, q, kv) sweep — each tile's s/p/ds are
     computed ONCE and feed all four results, where the separate-pass design
@@ -1608,13 +1460,16 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     """
     idx = 0
     cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
-    coeff_ref = rrow_ref = None
+    coeff_ref = rrow_ref = offs_ref = None
     if poly_grid:
         coeff_ref = rest[idx]; idx += 1
     if rel_ell:
         rrow_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
+        idx += 4
+    if idx < len(rest):  # trailing SMEM (row0, col0) offsets — ring chunks
+        offs_ref = rest[idx]
 
     hi = pl.program_id(1)
     qi = pl.program_id(2)
@@ -1647,7 +1502,12 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     tq, tk = s.shape
-    q_start, k_start = qi * tq, ki * kv_tile
+    # Local coords index the resident output blocks; global coords (ring
+    # chunk offsets via offs_ref) drive bias generation and validity.
+    lq_start, lk_start = qi * tq, ki * kv_tile
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
+    q_start, k_start = row0 + lq_start, col0 + lk_start
     dist = valid = None
     if poly_grid:
         bias, dist, valid = _poly_tile((coeff_ref, hi), q_start, k_start,
@@ -1657,8 +1517,11 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     if rel_ell:
         s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
                           rel_ell, rel_wfull)
-    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    col_l = lk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    kmask = col0 + col_l < n_valid
+    if chunk_valid is not None:
+        kmask = kmask & (col_l < chunk_valid)
+    s = jnp.where(kmask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0])
     g = g_ref[0, 0].astype(jnp.float32)
     gv = jax.lax.dot_general(
@@ -1687,9 +1550,9 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                        -sin_q_ref[0].astype(jnp.float32))
         dk_c = _rotate(dk_c, cos_k_ref[0].astype(jnp.float32),
                        -sin_k_ref[0].astype(jnp.float32))
-    dq_ref[0, 0, pl.ds(q_start, tq), :] += dq_c
-    dk_ref[0, 0, pl.ds(k_start, tk), :] += dk_c
-    dv_ref[0, 0, pl.ds(k_start, tk), :] += dv_c
+    dq_ref[0, 0, pl.ds(lq_start, tq), :] += dq_c
+    dk_ref[0, 0, pl.ds(lk_start, tk), :] += dk_c
+    dv_ref[0, 0, pl.ds(lk_start, tk), :] += dv_c
 
     if poly_grid and dparam_ref is not None:
         dsz = jnp.where(valid, ds, 0.0)
@@ -1702,7 +1565,7 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         acc_ref[...] += row
     if rel_ell and dparam_ref is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-        dsz = jnp.where((rows < n_valid) & (col < n_valid), ds, 0.0)
+        dsz = jnp.where((rows < n_valid) & kmask, ds, 0.0)
         acc_ref[...] += _rel_ds_to_dtabr(dsz, q_start, k_start, rel_ell,
                                          rel_wfull)
 
@@ -1717,19 +1580,29 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 # The fused backward holds per-(b, h) full [N, D] dq/dk/dv blocks plus the
-# [Tq, Tkv] tile temporaries in VMEM; above this budget (v5e: 16 MB/core)
-# fall back to the separate passes.
-_FUSED_BWD_VMEM_BUDGET = 10 * 1024 * 1024
+# [Tq, Tkv] tile temporaries in VMEM. The kernel raises Mosaic's scoped-vmem
+# limit past the 16 MB default (hardware-validated: N=16,385 d32 compiles
+# and runs); above this budget fall back to the separate passes.
+_FUSED_BWD_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                          mm_dtype=jnp.bfloat16, q_tile=256, kv_tile=KV_TILE,
-                         poly=None, rel=None):
+                         poly=None, rel=None, n_valid=None, row0=None,
+                         col0=None):
     """Driver for _stream_bwd_fused_kernel. Returns (dq, dk, dv, dcoeff,
     dtable) — f32 grads cast by the caller. Pre-conditions (enforced by
     _bwd's dispatch): no dense bias, no learnable frequencies, VMEM budget
-    respected."""
+    respected.
+
+    row0/col0 (traced, optional): GLOBAL offsets of the q rows / kv columns
+    — the CP ring's per-chunk call (streaming_chunk_bwd): k/v are then one
+    chunk (length ≠ q's), n_valid the global token count, and the returned
+    dq/dk/dv are this (shard, chunk) pair's partials."""
     b, h, n, d = q.shape
+    nc = k.shape[2]
+    if n_valid is None:
+        n_valid = n
     poly_grid = poly_degree = 0
     rel_ell = rel_wfull = 0
     rrow = None
@@ -1741,15 +1614,18 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         extra_shapes.append((h, LANE))
     if rel is not None:
         rrow, rel_ell, rel_wfull = _rel_prep(rel)
-        if n > rel_ell:
+        if n_valid > rel_ell:
             raise ValueError(
-                f"relative table covers L={rel_ell} tokens < sequence {n}")
+                f"relative table covers L={rel_ell} tokens < sequence "
+                f"{n_valid}")
         extra.append(rrow)
         extra_shapes.append((h, rel_wfull))
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
-    nk = _round_up(n, kv_tile)
+    kv_tile = min(kv_tile, _round_up(nc, LANE))
+    nk = _round_up(nc, kv_tile)
+    chunk_valid = nc if nc != nk else None
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
     gp = _pad_seq(g, nq, 2)
     lse_p = _pad_seq(lse, nq, 2)[..., None]
@@ -1787,10 +1663,10 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                          memory_space=pltpu.VMEM),
         ])
     kernel = functools.partial(
-        _stream_bwd_fused_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
-        has_rope=has_rope, mm_dtype=mm_dtype,
+        _stream_bwd_fused_kernel, scale=scale, n_valid=n_valid,
+        kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
         poly_grid=poly_grid, poly_degree=poly_degree,
-        rel_ell=rel_ell, rel_wfull=rel_wfull)
+        rel_ell=rel_ell, rel_wfull=rel_wfull, chunk_valid=chunk_valid)
 
     # dq/dk/dv out blocks are the full per-(b, h) extent — resident across
     # the (q, kv) sweep, accumulated in place.
@@ -1817,9 +1693,14 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
 
     n_extra_specs = len(extra_shapes)
     rope_inputs = 4 if has_rope else 0
+    offs_inputs = []
+    if row0 is not None:
+        offs, offs_spec = _smem_offs(row0, 0 if col0 is None else col0)
+        offs_inputs = [offs]
+        in_specs.append(offs_spec)
 
     def entry(*refs):
-        n_in = 6 + n_extra_specs + rope_inputs
+        n_in = 6 + n_extra_specs + rope_inputs + len(offs_inputs)
         ins = refs[:n_in]
         outs = refs[n_in:n_in + len(out_shape)]
         kw = {}
@@ -1831,7 +1712,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     # Input order must match the kernel's *rest unpacking (and the spec
     # list built above): 6 common, then extras (coeff / rrow), then the
     # rope tables.
-    all_inputs = inputs[:6] + extra + inputs[6:]
+    all_inputs = inputs[:6] + extra + inputs[6:] + offs_inputs
     call_kw = {}
     if not interpret:
         # The resident [N, D] out blocks + tile temporaries exceed the
@@ -1850,7 +1731,8 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         interpret=interpret,
         **call_kw,
     )(*all_inputs)
-    dq, dk, dv = res[0][:, :, :n, :], res[1][:, :, :n, :], res[2][:, :, :n, :]
+    dq, dk, dv = res[0][:, :, :n, :], res[1][:, :, :nc, :], \
+        res[2][:, :, :nc, :]
     dcoeff = dtable = None
     if poly is not None:
         dcoeff = res[3][:, :poly_degree + 1]
@@ -2298,10 +2180,10 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
     interpret = jax.default_backend() != "tpu"
     if n > STREAMING_THRESHOLD:
         d_ = q.shape[3]
-        nq_ = _round_up(n, 512)
+        nq_ = _round_up(n, 256)
         nk_ = _round_up(n, KV_TILE)
         fused_bytes = ((nq_ + 2 * nk_) * d_ * 4          # resident dq/dk/dv
-                       + 6 * 512 * KV_TILE * 4)          # tile temporaries
+                       + 6 * 256 * KV_TILE * 4)          # tile temporaries
         use_fused = (bias is None and not learnable_freqs and lse is not None
                      and fused_bytes <= _FUSED_BWD_VMEM_BUDGET)
         poly = (poly_coeff, poly_grid) if poly_coeff is not None else None

@@ -122,7 +122,15 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
         m_in = jnp.clip(t, 0, n_micro - 1)
         emb_t = jax.lax.dynamic_slice_in_dim(x_emb, m_in * mb, mb, axis=0)
         x_in = jnp.where(my == 0, emb_t, recv)
-        y = stage_blocks(x_in)
+        # Stage s is ACTIVE only for ticks [s, s + n_micro): outside that
+        # window it would process bubble garbage (clipped re-reads /
+        # uninitialized recv) whose outputs nothing keeps. Gate the block
+        # stack with lax.cond so the GPipe bubble costs ~no MXU work —
+        # safe because an inactive tick's output feeds only the next
+        # stage's inactive tick (t+1 ∉ [s+1, s+1+n_micro)) and carries zero
+        # cotangent (ADVICE r2: (S-1) wasted stage-forwards per step).
+        active = (t >= my) & (t < my + n_micro)
+        y = jax.lax.cond(active, stage_blocks, jnp.zeros_like, x_in)
         # Last stage collects microbatch t-(S-1) once it has traversed every
         # stage; earlier ticks re-write slot 0 with a discarded value.
         m_out = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
