@@ -248,6 +248,41 @@ def test_apply_cp_long_sequence_matches_streaming(pe):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_cp_trains_at_16k_tokens_on_8_shards():
+    """Capability run at the VALIDATION.md long-N envelope: a full
+    fwd+bwd at N = 16,385 tokens (512px / patch 4) with RELATIVE PE over
+    the 8-virtual-device ring — per-shard bias tiles are generated
+    ([H, 2048, 2048] per step; the materialized bias would be ~17 GB), and
+    the gradient reaches the table. This is the cross-chip long-N claim
+    executed end-to-end on the virtual mesh (one real chip exists, so the
+    multi-chip hardware run is out of reach — parity at N=2305 and the
+    dryrun N=2117 leg cover numerics; this covers scale)."""
+    cfg = ViTConfig(img_size=512, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=1, num_heads=2, pos_encoding="relative",
+                    attention_impl="reference")
+    assert cfg.seq_len == 16385
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 512, 1))
+
+    mesh = cp_mesh(seq=8, data=1)
+
+    def local_loss(p, xx):
+        logits = cp.apply_cp(p, xx, cfg)
+        return jnp.sum(logits ** 2)
+
+    gfn = shard_map(
+        lambda p, xx: jax.grad(local_loss)(p, xx), mesh,
+        in_specs=(P(), P(DATA_AXIS)), out_specs=P())
+
+    # Param grads come out PARTIAL over the seq axis (apply_cp contract);
+    # the out_spec P() with check_rep off returns one shard's partial —
+    # enough to assert the path runs and produces finite, nonzero signal.
+    g = jax.jit(gfn)(params, x)
+    gt = np.asarray(g["pos_embed.relative_position_bias_table"])
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0
+
+
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
 def test_apply_cp_matches_apply(pe):

@@ -233,3 +233,33 @@ def test_rope_visualizer_compare_skips_bad_model(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Skipping rope-mixed." in out
     assert any(p.endswith(".png") for p in os.listdir(tmp_path / "out"))
+
+
+def test_infer_vit_config_stripped_buffers_filename_fallback(tmp_path):
+    """Pathological checkpoint with the pos_embed.* buffers stripped
+    (reference recovers via its load-error regex,
+    /root/reference/rope_visualizer.py:249-275): the method comes from the
+    filename and the dimensions from patch_embed/blocks shapes, with the
+    caller's num_heads fallback standing in for the missing buffer."""
+    import jax
+    import numpy as np
+
+    from vit_rpe_rope_tpu.configs import ViTConfig
+    from vit_rpe_rope_tpu.models import vit as vit_mod
+
+    cfg = ViTConfig(img_size=32, patch_size=4, in_chans=3, embed_dim=192,
+                    depth=2, num_heads=6, pos_encoding="rope-axial")
+    params = vit_mod.init_params(jax.random.PRNGKey(0), cfg)
+    state = {k: np.asarray(v) for k, v in params.items()
+             if not k.startswith("pos_embed.")}
+    path = tmp_path / "cifar10_rope-axial_best.npz"
+    np.savez(path, **state)
+
+    got = introspect.infer_vit_config(state, path=str(path), num_heads=6)
+    assert got.pos_encoding == "rope-axial"
+    assert got.embed_dim == 192 and got.depth == 2 and got.num_heads == 6
+    assert got.img_size == 32  # cifar10-filename grid quirk
+
+    # No filename hint either -> "none" (plain shape inference).
+    got2 = introspect.infer_vit_config(state, path="mystery.npz")
+    assert got2.pos_encoding == "none"

@@ -68,9 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] rematerialize blocks in the backward "
                           "pass (O(depth) less activation memory)")
     ext.add_argument("--remat_policy", type=str, default="full",
-                     choices=["full", "dots"],
-                     help="[extension] remat selectivity: full recompute, or "
-                          "dots (save matmul outputs, recompute elementwise)")
+                     choices=["full", "dots", "softmax"],
+                     help="[extension] remat selectivity: full recompute; "
+                          "dots (save matmul outputs, recompute elementwise)"
+                          "; softmax (save everything EXCEPT the f32 "
+                          "attention softmax tensors — cheapest recompute, "
+                          "removes the dominant dense-regime residual "
+                          "traffic)")
     ext.add_argument("--rope_mixed_compat_scramble", action="store_true",
                      help="[extension] reproduce the reference RoPE-Mixed "
                           "(head,position) memory-scramble (SURVEY.md Q1) for "

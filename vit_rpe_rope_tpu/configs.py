@@ -71,7 +71,11 @@ class ViTConfig:
     # Remat selectivity: "full" recomputes the whole block; "dots" saves
     # matmul outputs and recomputes only elementwise/LN work
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — most of
-    # full remat's memory saving at a fraction of its recompute cost.
+    # full remat's memory saving at a fraction of its recompute cost;
+    # "softmax" saves EVERYTHING except the f32 [B, H, N, N] attention
+    # softmax intermediates (tagged in ops/reference_attention.py) — those
+    # are the dense regime's dominant residual HBM traffic, and the exp/
+    # normalize chain recomputes from the saved logits for almost free.
     remat_policy: str = "full"
 
     def __post_init__(self):
@@ -91,9 +95,9 @@ class ViTConfig:
                     "RoPE variants require head_dim divisible by 4; got "
                     f"head_dim={self.head_dim}"
                 )
-        if self.remat_policy not in ("full", "dots"):
+        if self.remat_policy not in ("full", "dots", "softmax"):
             raise ValueError(
-                f"remat_policy must be 'full' or 'dots'; got "
+                f"remat_policy must be 'full', 'dots' or 'softmax'; got "
                 f"{self.remat_policy!r}")
         for name in ("drop_rate", "attn_drop_rate", "drop_path_rate"):
             rate = getattr(self, name)

@@ -183,8 +183,16 @@ def remat_block_fn(cfg: ViTConfig, fn, static_argnums):
     half of full remat's step-time penalty in bf16; see VALIDATION.md)."""
     if not cfg.remat:
         return fn
-    policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-              if cfg.remat_policy == "dots" else None)
+    if cfg.remat_policy == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif cfg.remat_policy == "softmax":
+        # Save every intermediate EXCEPT the tagged f32 [B, H, N, N]
+        # softmax tensors (ops/reference_attention.py) — near-zero
+        # recompute, removes the dense regime's dominant residual traffic.
+        policy = jax.checkpoint_policies.save_any_names_but_these(
+            "attn_softmax")
+    else:
+        policy = None
     return jax.checkpoint(fn, static_argnums=static_argnums, policy=policy)
 
 

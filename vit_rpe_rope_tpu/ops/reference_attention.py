@@ -45,8 +45,17 @@ def attention(q, k, v, scale, bias=None, freqs_cis=None, dropout_rate=0.0,
     ) * scale
     if bias is not None:
         logits = logits + bias[None].astype(logits.dtype)
+    # checkpoint_name: identity in normal execution; under remat_policy
+    # "softmax" (models.vit.remat_block_fn) the tagged f32 [B, H, N, N]
+    # softmax intermediates are NOT saved for the backward — they are the
+    # dense regime's dominant residual HBM traffic, and recomputing the
+    # exp/normalize chain from the (saved) logits is nearly free VPU work.
+    from jax.ad_checkpoint import checkpoint_name
+
     probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    probs = checkpoint_name(probs, "attn_softmax")
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = checkpoint_name(probs, "attn_softmax")
     if dropout_rate > 0.0 and dropout_key is not None:
         keep = 1.0 - dropout_rate
         mask = jax.random.bernoulli(dropout_key, keep, probs.shape)

@@ -59,6 +59,19 @@ def grid_from_filename(path: str, default: int) -> int:
     return default
 
 
+def _method_from_filename(path: str):
+    """PE method named in a '{dataset}_{method}_best' checkpoint filename,
+    or None — the reference derives its model_config from exactly this
+    pattern; used only when the checkpoint carries no pos_embed.* key."""
+    name = os.path.basename(path)
+    # Longest-match first so 'rope-axial' never matches bare 'rope'.
+    for m in ("rope-axial", "rope-mixed", "polynomial", "relative",
+              "absolute", "none"):
+        if f"_{m}_" in name or name.startswith(f"{m}_"):
+            return m
+    return None
+
+
 def load_pe_model(path: str, method: str, grid_size: int = 14,
                   num_heads: int = 6, rope_theta: float = 100.0) -> PEModel:
     state = checkpoint.load_state(path)
@@ -151,24 +164,40 @@ def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
         "pos_embed.freqs": "rope-mixed",
     }
     methods = [m for k, m in method_by_key.items() if k in state]
-    method = methods[0] if methods else "none"
+    if methods:
+        method = methods[0]
+    else:
+        # Pathological checkpoint with the PE buffers stripped (e.g. saved
+        # strict=False): fall back to the method named in the FILENAME —
+        # the reference's recovery path for this case loads a temp model
+        # and regex-parses the size-mismatch error to recover dimensions
+        # (/root/reference/rope_visualizer.py:249-275); here the dimensions
+        # come exactly from patch_embed/blocks shapes already, so only the
+        # method name needs the filename (num_heads stays the caller's
+        # fallback, as in the reference's last resort).
+        method = _method_from_filename(path) or "none"
 
     grid = grid_size if grid_size is not None else grid_from_filename(path, 8)
     kw = {}
-    if method == "relative":
+    # Each refinement below reads this method's buffer/param; under the
+    # stripped-buffer filename fallback those keys are absent and the
+    # caller-provided num_heads/grid defaults stand (reference last-resort
+    # semantics).
+    if method == "relative" and \
+            "pos_embed.relative_position_bias_table" in state:
         table = state["pos_embed.relative_position_bias_table"]
         num_heads = int(table.shape[0])
         seq_len = (int(table.shape[1]) + 1) // 2
         g = int(math.isqrt(seq_len - 1))
         if g * g == seq_len - 1:
             grid = g
-    elif method == "polynomial":
+    elif method == "polynomial" and "pos_embed.coefficients" in state:
         coeff = state["pos_embed.coefficients"]
         if coeff.ndim == 2:
             num_heads = int(coeff.shape[0])
         kw = dict(poly_degree=int(coeff.shape[-1]) - 1,
                   poly_shared_heads=coeff.ndim == 1)
-    elif method == "rope-axial":
+    elif method == "rope-axial" and "pos_embed.inv_freq" in state:
         inv_freq = np.asarray(state["pos_embed.inv_freq"], np.float64)
         half = int(inv_freq.shape[0])
         num_heads = embed_dim // (4 * half)
@@ -181,7 +210,7 @@ def infer_vit_config(state: dict, path: str = "", num_heads: int = 6,
             # consumers needing bit-exactness should read the stored
             # pos_embed.inv_freq buffer directly.
             kw = dict(rope_theta=float(inv_freq[1] ** -half))
-    elif method == "rope-mixed":
+    elif method == "rope-mixed" and "pos_embed.freqs" in state:
         num_heads = int(state["pos_embed.freqs"].shape[1])
 
     return ViTConfig(img_size=grid * patch_size, patch_size=patch_size,
