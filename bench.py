@@ -126,13 +126,28 @@ STRETCH_KW = dict(pos_encoding="rope-mixed", img_size=224, patch_size=16,
                   embed_dim=384, depth=12, steps=20, batch=64)
 
 
+def _baseline(path, key):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get(key)
+    return None
+
+
+def _result_line(metric: str, r: dict, base) -> dict:
+    return {
+        "metric": metric,
+        "value": round(r["images_per_sec"], 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(r["images_per_sec"] / base, 1) if base else None,
+        "tflops_per_sec": round(r["tflops_per_sec"], 2),
+        "mfu": round(r["mfu"], 4),
+    }
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(here, "BASELINE_MEASURED.json")
-    baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)["pytorch_cpu_images_per_sec"]
+    baseline = _baseline(baseline_path, "pytorch_cpu_images_per_sec")
 
     if "--matrix" in sys.argv:
         # Utilization matrix: dtype × remat × config. Writes
@@ -154,58 +169,30 @@ def main():
             json.dump(rows, f, indent=1)
         return
 
+    stretch_base = _baseline(baseline_path,
+                             "pytorch_cpu_images_per_sec_stretch")
     if "--stretch" in sys.argv:
         # BASELINE.json config 5: ViT-S/16 @ 224px (197 tokens), rope-mixed.
-        stretch_base = None
-        if os.path.exists(baseline_path):
-            with open(baseline_path) as f:
-                stretch_base = json.load(f).get(
-                    "pytorch_cpu_images_per_sec_stretch")
-        r = measure(**STRETCH_KW)
-        result = {
-            "metric": "ViT-S/16 @224 rope-mixed images/sec/chip "
-                      "(train fwd+bwd+update, bs64)",
-            "value": round(r["images_per_sec"], 1),
-            "unit": "images/sec/chip",
-            "vs_baseline": round(r["images_per_sec"] / stretch_base, 1)
-            if stretch_base else None,
-            "tflops_per_sec": round(r["tflops_per_sec"], 2),
-            "mfu": round(r["mfu"], 4),
-        }
+        result = _result_line(
+            "ViT-S/16 @224 rope-mixed images/sec/chip "
+            "(train fwd+bwd+update, bs64)",
+            measure(**STRETCH_KW), stretch_base)
     else:
-        r = measure()
-        ips = r["images_per_sec"]
-        result = {
-            "metric": "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
-                      "(train fwd+bwd+update, bs128)",
-            "value": round(ips, 1),
-            "unit": "images/sec/chip",
-            "vs_baseline": round(ips / baseline, 1) if baseline else None,
-            "tflops_per_sec": round(r["tflops_per_sec"], 2),
-            "mfu": round(r["mfu"], 4),
-        }
+        result = _result_line(
+            "CIFAR-10 ViT-tiny/4 rope-axial images/sec/chip "
+            "(train fwd+bwd+update, bs128)",
+            measure(), baseline)
         # The headline config is bandwidth-bound by shape (AI ≤ 14 FLOP/byte
         # vs the ~240 ridge — ROADMAP.md roofline), so its MFU under-sells
-        # the build. Report the MXU-bound stretch config (ViT-S/16 @224 bf16)
-        # in the same line so BENCH_r*.json carries both regimes.
+        # the build. Report the MXU-bound stretch config (ViT-S/16 @224
+        # bf16, no remat — the measured-best knob setting, ROADMAP round-3
+        # closure) in the same line so BENCH_r*.json carries both regimes.
         try:
-            stretch_base = None
-            if os.path.exists(baseline_path):
-                with open(baseline_path) as f:
-                    stretch_base = json.load(f).get(
-                        "pytorch_cpu_images_per_sec_stretch")
-            rs = measure(compute_dtype="bfloat16", remat=True,
-                         remat_policy="dots", **STRETCH_KW)
-            result["stretch"] = {
-                "metric": "ViT-S/16 @224 rope-mixed bf16 images/sec/chip "
-                          "(train fwd+bwd+update, bs64)",
-                "value": round(rs["images_per_sec"], 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(rs["images_per_sec"] / stretch_base, 1)
-                if stretch_base else None,
-                "tflops_per_sec": round(rs["tflops_per_sec"], 2),
-                "mfu": round(rs["mfu"], 4),
-            }
+            result["stretch"] = _result_line(
+                "ViT-S/16 @224 rope-mixed bf16 images/sec/chip "
+                "(train fwd+bwd+update, bs64)",
+                measure(compute_dtype="bfloat16", **STRETCH_KW),
+                stretch_base)
         except Exception as e:  # the headline number must survive regardless
             result["stretch"] = {"error": repr(e)[:200]}
     print(json.dumps(result))

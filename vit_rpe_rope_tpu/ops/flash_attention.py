@@ -315,6 +315,10 @@ def _bwd_dense(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             kw["dkr_ref"] = outs[pos + 1]
         kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
 
+    call_kw = {}
+    if not interpret:
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     res = pl.pallas_call(
         entry,
         grid=(b // bb,),
@@ -322,6 +326,7 @@ def _bwd_dense(scale, q, k, v, bias, freqs_cis, out, g, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **call_kw,
     )(*inputs)
     dq, dk, dv = res[0], res[1], res[2]
     pos = 3
@@ -968,6 +973,8 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
     poly/rel modes are generated in-kernel at the global coordinates."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if rel is not None and q_tile > 256:
+        q_tile = 256  # cheaper Toeplitz expansion — see _forward_streaming
     b, h, nl, d = q.shape
     nc = k.shape[2]
     q_tile = min(q_tile, _round_up(nl, 8))
@@ -2230,6 +2237,26 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
     # identities with the softmax recomputed in VMEM). Generated-bias modes
     # materialize their (small, dense-sized) bias for the kernel and
     # transpose the accumulated dbias back through the generator's jnp vjp.
+    #
+    # Size guard: the dense kernel holds ~4 concurrent [BB, H, Nq, Nk] f32
+    # tiles; once even BB=1 exceeds the VMEM budget (mid-size N with many
+    # heads — hardware-validated coverage is N ≤ ~512), take the STREAMING
+    # machinery instead (tiled at any N; recomputes its lse since the
+    # dense forward saves none).
+    h_ = q.shape[1]
+    nq_ = _round_up(n, 8)
+    nk_ = _round_up(n, LANE)
+    if 4 * h_ * nq_ * nk_ * 4 > _FUSED_BWD_VMEM_BUDGET:
+        poly = (poly_coeff, poly_grid) if poly_coeff is not None else None
+        dq, dk, dv, dbias, dfreqs, dcoeff, dtable = _bwd_streaming(
+            scale, q, k, v, bias, freqs_cis, out, g,
+            interpret=interpret, mm_dtype=mm_dtype,
+            want_dbias=bias is not None, want_dfreqs=learnable_freqs,
+            poly=poly, rel=rel_table, lse=None)
+        if freqs_cis is not None and dfreqs is None:
+            dfreqs = (jnp.zeros_like(freqs_cis[0]),
+                      jnp.zeros_like(freqs_cis[1]))
+        return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
     gen_vjp = None
     if poly_coeff is not None:
         bias_in, gen_vjp = jax.vjp(

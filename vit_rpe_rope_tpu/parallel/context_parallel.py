@@ -283,6 +283,35 @@ def _ring_flash_bwd(scale, axis_name, n_valid, bias_kind, bias_grid,
 ring_flash_attention.defvjp(_ring_flash_fwd, _ring_flash_bwd)
 
 
+def ring_dispatch(cfg: ViTConfig, axis_name, n_valid, bias_kind, bias_arg,
+                  bias_grid, q, k, v, scale):
+    """Single home of the CP ring backend selection (shared by _cp_block and
+    parallel/tp_cp.py): the Pallas streaming-kernel ring when the config
+    selects the flash path AND the fused chunk backward's resident [Nl, D]
+    blocks fit the VMEM budget (flash_attention._FUSED_BWD_VMEM_BUDGET —
+    the chunk path has no separate-pass fallback); the jnp ring otherwise
+    and for generic dense-bias PEs the kernels don't generate."""
+    from vit_rpe_rope_tpu.ops.flash_attention import (
+        _FUSED_BWD_VMEM_BUDGET, _round_up)
+
+    nl, dh = q.shape[2], q.shape[3]
+    nq = _round_up(nl, 256)
+    nk = _round_up(nl, 512)
+    chunk_fits = (nq + 2 * nk) * dh * 4 + 6 * 256 * 512 * 4         <= _FUSED_BWD_VMEM_BUDGET
+    use_flash = (_attention_impl(cfg) == "flash" and chunk_fits
+                 and (bias_kind is not None or bias_arg is None))
+    if use_flash:
+        return ring_flash_attention(scale, axis_name, n_valid, bias_kind,
+                                    bias_grid, jnp.bfloat16, q, k, v,
+                                    bias_arg)
+    return ring_attention(q, k, v, scale, axis_name,
+                          bias=bias_arg if bias_kind is None else None,
+                          n_valid=n_valid,
+                          bias_kind=bias_kind,
+                          bias_arg=bias_arg if bias_kind else None,
+                          bias_grid=bias_grid)
+
+
 def _cp_block(params, prefix, x, cfg: ViTConfig, bias_arg, local_freqs,
               axis_name, n_valid, bias_kind, bias_grid):
     """Pre-LN block on a LOCAL token shard x [B, Nl, E]: every op is
@@ -301,25 +330,8 @@ def _cp_block(params, prefix, x, cfg: ViTConfig, bias_arg, local_freqs,
         cos, sin = local_freqs  # [H, Nl, Dh/2] — identity rows cover cls/pad
         q = rotate_half_split(q, cos[None], sin[None])
         k = rotate_half_split(k, cos[None], sin[None])
-    # Ring backend: the Pallas streaming-kernel ring (O(N/R) residuals,
-    # in-kernel bias tiles + parameter-gradient partials) when the config
-    # selects the flash path — mirroring the single-chip "auto" rule that
-    # hands N > STREAMING_THRESHOLD to the streaming kernels; the jnp ring
-    # (XLA-fused per-chunk softmax, AD through the scan) otherwise and for
-    # generic dense-bias PEs the kernels don't generate.
-    use_flash = (_attention_impl(cfg) == "flash"
-                 and (bias_kind is not None or bias_arg is None))
-    if use_flash:
-        attn_out = ring_flash_attention(dh ** -0.5, axis_name, n_valid,
-                                        bias_kind, bias_grid, jnp.bfloat16,
-                                        q, k, v, bias_arg)
-    else:
-        attn_out = ring_attention(q, k, v, dh ** -0.5, axis_name,
-                                  bias=bias_arg if bias_kind is None else None,
-                                  n_valid=n_valid,
-                                  bias_kind=bias_kind,
-                                  bias_arg=bias_arg if bias_kind else None,
-                                  bias_grid=bias_grid)
+    attn_out = ring_dispatch(cfg, axis_name, n_valid, bias_kind, bias_arg,
+                             bias_grid, q, k, v, dh ** -0.5)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, nl, e)
     x = x + _linear(attn_out, params[f"{prefix}.attn.proj.weight"],
                     params[f"{prefix}.attn.proj.bias"])

@@ -47,8 +47,7 @@ from vit_rpe_rope_tpu.models.vit import (
     _attention_impl, _layer_norm, _linear, patch_embed, remat_block_fn)
 from vit_rpe_rope_tpu.ops.flash_attention import _pad_seq, _prep_freqs
 from vit_rpe_rope_tpu.ops.rotary import rotate_half_split
-from vit_rpe_rope_tpu.parallel.context_parallel import (
-    ring_attention, ring_flash_attention)
+from vit_rpe_rope_tpu.parallel.context_parallel import ring_dispatch
 from vit_rpe_rope_tpu.parallel.mesh import (
     MODEL_AXIS, SEQ_AXIS, identity_fwd_psum_bwd, psum_identity_bwd)
 from vit_rpe_rope_tpu.parallel.tensor_parallel import _local_heads
@@ -84,18 +83,8 @@ def _tp_cp_block(params, prefix, x, cfg: ViTConfig, bias_arg, local_freqs,
         q = rotate_half_split(q, cos[None], sin[None])
         k = rotate_half_split(k, cos[None], sin[None])
 
-    use_flash = (_attention_impl(cfg) == "flash"
-                 and (bias_kind is not None or bias_arg is None))
-    if use_flash:
-        attn_out = ring_flash_attention(dh ** -0.5, SEQ_AXIS, n_valid,
-                                        bias_kind, bias_grid, jnp.bfloat16,
-                                        q, k, v, head_bias_arg)
-    else:
-        attn_out = ring_attention(q, k, v, dh ** -0.5, SEQ_AXIS,
-                                  bias=None, n_valid=n_valid,
-                                  bias_kind=bias_kind,
-                                  bias_arg=head_bias_arg,
-                                  bias_grid=bias_grid)
+    attn_out = ring_dispatch(cfg, SEQ_AXIS, n_valid, bias_kind,
+                             head_bias_arg, bias_grid, q, k, v, dh ** -0.5)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, nl, local_h * dh)
 
     proj_w = params[f"{prefix}.attn.proj.weight"]  # [E, Hl·Dh] local cols
