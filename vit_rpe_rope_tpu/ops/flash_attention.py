@@ -600,6 +600,19 @@ STREAMING_THRESHOLD = 2048
 KV_TILE = 512
 
 
+def _dense_attn_fits(h: int, n: int, has_bias: bool) -> bool:
+    """Whether the dense one-tile kernels fit VMEM at batch block 1:
+    the BACKWARD is the stricter direction (~4 concurrent [H, Nq, Nk] f32
+    tiles + the bias block); below this both directions take the dense
+    kernels, above it both stream (the streaming forward then saves its
+    lse for the streaming backward). Hardware-calibrated: N=1025 h=4
+    overflows the 16 MB scoped budget with a materialized bias."""
+    nq = _round_up(n, 8)
+    nk = _round_up(n, LANE)
+    tiles = (4 + (1 if has_bias else 0)) * h * nq * nk * 4
+    return tiles <= 12 * 1024 * 1024
+
+
 def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
              rel_table=None, interpret=None, mm_dtype=jnp.bfloat16,
              want_lse=False):
@@ -610,7 +623,12 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
         interpret = jax.default_backend() != "tpu"
-    if q.shape[2] > STREAMING_THRESHOLD:
+    has_biasish = (bias is not None or poly_coeff is not None
+                   or rel_table is not None)
+    if (q.shape[2] > STREAMING_THRESHOLD
+            or not _dense_attn_fits(q.shape[1], q.shape[2], has_biasish)):
+        # Long sequences — or mid-size ones whose dense tiles overflow
+        # VMEM (explicit attention_impl=flash below the auto threshold).
         return _forward_streaming(q, k, v, scale, bias, freqs_cis,
                                   poly=(poly_coeff, poly_grid)
                                   if poly_coeff is not None else None,
@@ -2185,7 +2203,10 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
     n = q.shape[2]
     learnable_freqs = freqs_cis is not None and freqs_cis[0].ndim == 3
     interpret = jax.default_backend() != "tpu"
-    if n > STREAMING_THRESHOLD:
+    has_biasish = (bias is not None or poly_coeff is not None
+                   or rel_table is not None)
+    if (n > STREAMING_THRESHOLD
+            or not _dense_attn_fits(q.shape[1], n, has_biasish)):
         d_ = q.shape[3]
         nq_ = _round_up(n, 256)
         nk_ = _round_up(n, KV_TILE)
@@ -2237,26 +2258,6 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
     # identities with the softmax recomputed in VMEM). Generated-bias modes
     # materialize their (small, dense-sized) bias for the kernel and
     # transpose the accumulated dbias back through the generator's jnp vjp.
-    #
-    # Size guard: the dense kernel holds ~4 concurrent [BB, H, Nq, Nk] f32
-    # tiles; once even BB=1 exceeds the VMEM budget (mid-size N with many
-    # heads — hardware-validated coverage is N ≤ ~512), take the STREAMING
-    # machinery instead (tiled at any N; recomputes its lse since the
-    # dense forward saves none).
-    h_ = q.shape[1]
-    nq_ = _round_up(n, 8)
-    nk_ = _round_up(n, LANE)
-    if 4 * h_ * nq_ * nk_ * 4 > _FUSED_BWD_VMEM_BUDGET:
-        poly = (poly_coeff, poly_grid) if poly_coeff is not None else None
-        dq, dk, dv, dbias, dfreqs, dcoeff, dtable = _bwd_streaming(
-            scale, q, k, v, bias, freqs_cis, out, g,
-            interpret=interpret, mm_dtype=mm_dtype,
-            want_dbias=bias is not None, want_dfreqs=learnable_freqs,
-            poly=poly, rel=rel_table, lse=None)
-        if freqs_cis is not None and dfreqs is None:
-            dfreqs = (jnp.zeros_like(freqs_cis[0]),
-                      jnp.zeros_like(freqs_cis[1]))
-        return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
     gen_vjp = None
     if poly_coeff is not None:
         bias_in, gen_vjp = jax.vjp(
