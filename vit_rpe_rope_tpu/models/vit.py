@@ -160,15 +160,16 @@ def patch_embed(params, images, cfg: ViTConfig):
 def _attention_impl(cfg: ViTConfig) -> str:
     impl = cfg.attention_impl
     if impl == "auto":
-        # Measured on v5e-1 (2026-08, r1+r2): at the reference's shapes XLA's
-        # fused unfused-attention beats the Pallas kernel — at N=65 per-
-        # program overheads dominate, and at N=197 (ViT-S @224 bf16 train
-        # step: 2,013 vs 1,409 img/s) the custom-VJP recompute backward loses
-        # to XLA's fused backward. Above the streaming threshold the Pallas
-        # kernel WINS (N=4097 train step: 35.3 vs 42.1 ms, and it never
-        # materializes the [B, H, N, N] logits XLA needs ~1 GB for), so
-        # "auto" switches to it there. Full analysis: ROADMAP.md "Round-2
-        # verdict on the small-shape kernel fight".
+        # Measured on v5e-1 three rounds running (r1-r3): at the reference's
+        # shapes XLA beats the Pallas kernels — at N=65 per-program
+        # overheads dominate, and at N=197 the round-3 head-batched dense
+        # backward reaches standalone parity (fwd 22.6 vs 24.5 µs, grad
+        # 1079 vs 1038 µs) yet the 12-block step still loses ~25% because
+        # the custom_vjp boundary blocks XLA's qkv/proj epilogue fusions.
+        # Above the streaming threshold the Pallas path WINS in every PE
+        # mode (N=4,097: rope 0.033 vs 0.042 s/step; it never materializes
+        # the [B, H, N, N] logits XLA needs ~1 GB for), so "auto" switches
+        # there. Full analysis: ROADMAP.md round-2 + round-3 closures.
         from vit_rpe_rope_tpu.ops.flash_attention import STREAMING_THRESHOLD
 
         impl = "flash" if cfg.seq_len > STREAMING_THRESHOLD else "reference"

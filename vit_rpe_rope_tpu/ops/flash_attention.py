@@ -19,13 +19,16 @@ PE handling (SURVEY.md §2.3 taxonomy):
   keys to the 128-lane boundary; padded KEY columns are masked to -inf before
   the softmax (padded query rows are garbage and sliced off by the caller).
 
-Backward: recompute-based custom_vjp. At reference scales (N ≤ 256) the
-backward re-runs the cheap unfused oracle under jax.vjp (exact gradients,
-nothing big saved). Above STREAMING_THRESHOLD it switches to tiled Pallas
-backward kernels for EVERY PE regime: dq and dk/dv passes recompute p from
-the per-row logsumexp; dbias accumulates ds tiles over batch in-kernel
-(batch-innermost grid); learnable rope-mixed frequencies get (dcos, dsin)
-from the rotated-space q/k gradients. Nothing larger than the caller's own
+Backward: custom_vjp, routed by the same VMEM footprint predicate as the
+forward (_dense_attn_fits). In the dense regime a head-batched one-kernel
+backward (_dense_bwd_kernel, round 3) recomputes the softmax in VMEM and
+runs the five flash-identity matmuls in one program — no [B, H, N, N]
+tensor leaves VMEM. Above it (long N, or mid-size shapes whose dense tiles
+overflow) the tiled streaming backward runs for EVERY PE regime — normally
+the ONE-pass fused kernel (dq/dk/dv/dparam from a single sweep with
+resident [N, D] blocks), with separate dq/dkv/dbias/dcoeff/dtable passes
+for the dense-bias and learnable-frequency modes; p is recomputed from the
+forward-saved per-row logsumexp. Nothing larger than the caller's own
 [H, N, N] bias ever materializes in either direction.
 """
 
@@ -616,9 +619,9 @@ def _dense_attn_fits(h: int, n: int, has_bias: bool) -> bool:
 def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
              rel_table=None, interpret=None, mm_dtype=jnp.bfloat16,
              want_lse=False):
-    """want_lse=True: returns (out, lse) for streaming shapes and
-    (out, None) for dense ones (the dense backward is an oracle vjp and
-    needs no lse residual)."""
+    """want_lse=True: returns (out, lse) for streaming-routed shapes and
+    (out, None) for dense ones (the dense backward kernel recomputes its
+    softmax from s in VMEM and needs no lse residual)."""
     if interpret is None:
         # Interpret mode off-TPU so the same code path runs in CPU tests
         # (SURVEY.md §4.2).
