@@ -156,8 +156,8 @@ def main():
         rows = []
         for name, kw in (("headline", {}), ("stretch", STRETCH_KW)):
             for dtype in ("float32", "bfloat16"):
-                for remat in (("off", "full", "dots") if name == "stretch"
-                              else ("off",)):
+                for remat in (("off", "full", "dots", "softmax")
+                              if name == "stretch" else ("off",)):
                     r = measure(compute_dtype=dtype, remat=remat != "off",
                                 remat_policy=remat if remat != "off"
                                 else "full", **kw)

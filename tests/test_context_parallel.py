@@ -354,6 +354,57 @@ def test_cp_training_matches_dp(pe):
                                    rtol=1e-4, atol=1e-5, err_msg=kk)
 
 
+def test_cp_grad_accum_matches_large_batch():
+    """Round 3: gradient accumulation now composes with the model-axis
+    drivers — accum=2 over two bs-8 rows on the dp2 × seq4 CP mesh must
+    reproduce the bs-16 CP step on the same 16 examples (raw-grad sums,
+    ONE (data, seq) psum per optimizer step, count-normalized)."""
+    cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=2, num_heads=4, pos_encoding="relative",
+                    attention_impl="reference")
+    bundle = datasets.synthetic("mnist", n_train=32, n_test=8, seed=5)
+    pre = ts.make_preprocess(cfg, bundle.mean, bundle.std, 28)
+    tx = optax.sgd(0.05)
+    params0 = vit.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = cp_mesh(seq=4, data=2)
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    dx = jax.device_put(bundle.train_x, rep)
+    dy = jax.device_put(bundle.train_y, rep)
+    order = np.arange(32, dtype=np.int32)
+
+    p1 = jax.device_put(params0, rep)
+    o1 = jax.device_put(tx.init(params0), rep)
+    fn16 = ts.make_cp_train_step(
+        cfg, TrainConfig(dataset="mnist", batch_size=16, epochs=2), mesh,
+        tx, pre)
+    ei16 = jax.device_put(order.reshape(2, 16), idx_sh)
+    losses16 = []
+    for s in range(2):
+        p1, o1, m = fn16(p1, o1, jnp.asarray([s], jnp.int32), dx, dy, ei16)
+        m.block_until_ready()
+        losses16.append(float(np.asarray(m)[0]))
+
+    p2 = jax.device_put(vit.init_params(jax.random.PRNGKey(0), cfg), rep)
+    o2 = jax.device_put(tx.init(params0), rep)
+    fn8 = ts.make_cp_train_step(
+        cfg, TrainConfig(dataset="mnist", batch_size=8, epochs=2), mesh,
+        tx, pre, accum=2)
+    ei8 = jax.device_put(order.reshape(4, 8), idx_sh)
+    losses8 = []
+    for s in (0, 2):
+        p2, o2, m = fn8(p2, o2, jnp.asarray([s], jnp.int32), dx, dy, ei8)
+        m.block_until_ready()
+        m = np.asarray(m)
+        losses8.append(float(m[0]))
+        assert m[2] == 16  # count = total REAL examples across the group
+    np.testing.assert_allclose(losses8, losses16, rtol=1e-5)
+    g1, g2 = jax.device_get(p1), jax.device_get(p2)
+    for kk in g1:
+        np.testing.assert_allclose(np.asarray(g2[kk]), np.asarray(g1[kk]),
+                                   rtol=1e-5, atol=1e-6, err_msg=kk)
+
+
 def test_cp_eval_step_matches_replicated():
     """make_eval_step(apply_fn=apply_cp) on the dp=2 × seq=4 mesh reports the
     same metrics as the replicated eval."""

@@ -190,8 +190,13 @@ def remat_block_fn(cfg: ViTConfig, fn, static_argnums):
         # Save every intermediate EXCEPT the tagged f32 [B, H, N, N]
         # softmax tensors (ops/reference_attention.py) — near-zero
         # recompute, removes the dense regime's dominant residual traffic.
-        policy = jax.checkpoint_policies.save_any_names_but_these(
-            "attn_softmax")
+        # NOTE: jax's save_any_names_but_these treats UNtagged values as
+        # non-saveable (it is a names-only whitelist family), which would
+        # degrade to full remat — hence the explicit policy: saveable
+        # unless it is the tagged name.
+        def policy(prim, *_, **params):
+            return not (prim.name == "name"
+                        and params.get("name") == "attn_softmax")
     else:
         policy = None
     return jax.checkpoint(fn, static_argnums=static_argnums, policy=policy)

@@ -151,10 +151,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # Index ROWS per epoch (one row = one batch of batch_size examples);
     # grad_accum > 1 folds `accum` consecutive rows into one optimizer step.
     accum = tcfg.grad_accum
-    if accum > 1 and (use_tp or use_cp or use_pp or use_tpcp):
-        raise ValueError("grad_accum > 1 is supported on the data-parallel "
-                         "drivers only (not with model/sequence/pipeline "
-                         "parallelism)")
+    if accum > 1 and use_pp:
+        raise ValueError("grad_accum > 1 is not supported with pipeline "
+                         "parallelism (use --pp_microbatches — PP already "
+                         "microbatches within the step)")
     rows_per_epoch = -(-len(bundle.train_y) // tcfg.batch_size)
     steps_per_epoch = -(-rows_per_epoch // accum)  # optimizer steps
     preprocess = ts.make_preprocess(
@@ -311,15 +311,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     if use_tpcp:
         train_fn = ts.make_tp_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
-            guard_padded_steps=(steps_per_epoch % k != 0))
+            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
     elif use_tp:
         train_fn = ts.make_tp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
-            guard_padded_steps=(steps_per_epoch % k != 0))
+            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
     elif use_cp:
         train_fn = ts.make_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
-            guard_padded_steps=(steps_per_epoch % k != 0))
+            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
     elif use_pp:
         train_fn = ts.make_pp_train_step(
             cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,

@@ -472,39 +472,70 @@ def opt_specs_like(opt_state, param_specs):
 def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                 preprocess, apply_fn, reduce_grads,
                                 proto_params, param_specs, k: int,
-                                guard_padded_steps: bool):
-    """Shared skeleton of the model-axis drivers (TP / CP / PP): one DP×axis
-    optimizer step with the augment/dropout key replicated across the second
-    mesh axis (activations there must stay consistent), loss/metric psums
-    over 'data', and a strategy-specific `reduce_grads(grads) -> grads`
-    (this is the ONLY point where TP, CP and PP differ besides the forward).
-    k-step fusion and padded-step guarding follow make_train_multi_step;
+                                guard_padded_steps: bool, accum: int = 1):
+    """Shared skeleton of the model-axis drivers (TP / CP / PP / TP×CP):
+    one DP×axis optimizer step with the augment/dropout key replicated
+    across the second mesh axis (activations there must stay consistent),
+    loss/metric psums over 'data', and a strategy-specific
+    `reduce_grads(grads) -> grads` (this is the ONLY point where the
+    strategies differ besides the forward). k-step fusion, padded-step
+    guarding and accum follow make_train_multi_step — accum > 1 sums raw
+    micro-row gradients in a lax.scan (one reduce_grads collective per
+    OPTIMIZER step, not per microbatch) and normalizes by the global real
+    count, bit-comparable to one step on the concatenated batch;
     params/optimizer are placed per `param_specs` / opt_specs_like."""
     guard = guard_padded_steps and k > 1
 
     def one_step(params, opt_state, step, data_x, data_y, epoch_idx,
                  epoch=0):
-        idx = jax.lax.dynamic_index_in_dim(
-            epoch_idx, step, axis=0, keepdims=False)
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
-        count = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        safe_count = jnp.maximum(count, 1.0)
-        key = jax.random.fold_in(
-            jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), epoch),
-                step),
-            jax.lax.axis_index(DATA_AXIS))
-
-        def loss_fn(p):
+        def micro(p, row, key_src):
+            idx = jax.lax.dynamic_index_in_dim(
+                epoch_idx, row, axis=0, keepdims=False)
+            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+            key = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(tcfg.seed),
+                                       epoch), key_src),
+                jax.lax.axis_index(DATA_AXIS))
             loss_sum, correct = _loss_and_metrics(
                 p, imgs, labels, mask, cfg, preprocess, apply_fn=apply_fn,
                 key=key)
-            return loss_sum / safe_count, correct
+            return loss_sum, (correct, jnp.sum(mask))
 
-        (local_loss, correct), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        grads = reduce_grads(grads)
-        loss = jax.lax.psum(local_loss, DATA_AXIS)
+        if accum == 1:
+            idx = jax.lax.dynamic_index_in_dim(
+                epoch_idx, step, axis=0, keepdims=False)
+            count = jax.lax.psum(
+                jnp.sum((idx >= 0).astype(jnp.float32)), DATA_AXIS)
+            safe_count = jnp.maximum(count, 1.0)
+
+            def loss_fn(p):
+                loss_sum, (correct, _) = micro(p, step, step)
+                return loss_sum / safe_count, correct
+
+            (local_loss, correct), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = reduce_grads(grads)
+            loss = jax.lax.psum(local_loss, DATA_AXIS)
+        else:
+            grad_fn = jax.value_and_grad(
+                lambda p, row: micro(p, row, row), has_aux=True)
+
+            def body(carry, a):
+                g_acc, l_acc, c_acc, m_acc = carry
+                (ls, (cor, ms)), g = grad_fn(params, step + a)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + ls, c_acc + cor, m_acc + ms), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, x.dtype), params)
+            (g_sum, loss_sum, correct, msum), _ = jax.lax.scan(
+                body, (zeros, 0.0, 0.0, 0.0), jnp.arange(accum))
+            count = jax.lax.psum(msum, DATA_AXIS)
+            safe_count = jnp.maximum(count, 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / safe_count, reduce_grads(g_sum))
+            loss = jax.lax.psum(loss_sum, DATA_AXIS) / safe_count
         correct = jax.lax.psum(correct, DATA_AXIS)
         updates, o_new = tx.update(grads, opt_state, params)
         p_new = optax.apply_updates(params, updates)
@@ -529,7 +560,7 @@ def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                    epoch=epoch)
                 return (p, o), m
 
-            steps = start[0] + jnp.arange(k, dtype=jnp.int32)
+            steps = start[0] + jnp.arange(k, dtype=jnp.int32) * accum
             (params, opt_state), metrics = jax.lax.scan(
                 body, (params, opt_state), steps)
             return params, opt_state, metrics
@@ -548,7 +579,7 @@ def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
 
 def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, k: int = 1,
-                       guard_padded_steps: bool = True):
+                       guard_padded_steps: bool = True, accum: int = 1):
     """Data-parallel + tensor-parallel training step over the full
     ('data', 'model') mesh. Params must be TP-prepared
     (tensor_parallel.prepare_tp_params) and placed with tp_param_specs
@@ -590,12 +621,12 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         cfg, tcfg, mesh, tx, preprocess, apply_fn=tp.apply_tp,
         reduce_grads=reduce_grads, proto_params=proto,
         param_specs=tp.tp_param_specs(proto, cfg),
-        k=k, guard_padded_steps=guard_padded_steps)
+        k=k, guard_padded_steps=guard_padded_steps, accum=accum)
 
 
 def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, k: int = 1,
-                       guard_padded_steps: bool = True):
+                       guard_padded_steps: bool = True, accum: int = 1):
     """Data-parallel × sequence-parallel (ring attention) training step over
     the ('data', 'model') mesh — the 'model' axis carries token shards
     (parallel/context_parallel.py). Params and optimizer state stay fully
@@ -615,12 +646,12 @@ def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         cfg, tcfg, mesh, tx, preprocess, apply_fn=cp.apply_cp,
         reduce_grads=lambda g: jax.lax.psum(g, (DATA_AXIS, MODEL_AXIS)),
         proto_params=proto, param_specs={kk: P() for kk in proto},
-        k=k, guard_padded_steps=guard_padded_steps)
+        k=k, guard_padded_steps=guard_padded_steps, accum=accum)
 
 
 def make_tp_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                           preprocess, k: int = 1,
-                          guard_padded_steps: bool = True):
+                          guard_padded_steps: bool = True, accum: int = 1):
     """Composed 3-axis training step over the ('data', 'seq', 'model') mesh:
     data parallelism × sequence parallelism (KV ring over 'seq') × tensor
     parallelism (head/MLP sharding over 'model') — parallel/tp_cp.py.
@@ -658,7 +689,7 @@ def make_tp_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         cfg, tcfg, mesh, tx, preprocess, apply_fn=tp_cp.apply_tp_cp,
         reduce_grads=reduce_grads, proto_params=proto,
         param_specs=tp.tp_param_specs(proto, cfg),
-        k=k, guard_padded_steps=guard_padded_steps)
+        k=k, guard_padded_steps=guard_padded_steps, accum=accum)
 
 
 def make_pp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
