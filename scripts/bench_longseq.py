@@ -32,6 +32,7 @@ import numpy as np  # noqa: E402
 CONFIGS = {
     4097: dict(img_size=256, batch=4),
     16385: dict(img_size=512, batch=2),
+    65537: dict(img_size=1024, batch=1),  # 256² patches + cls, one chip
 }
 
 

@@ -1611,6 +1611,9 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 # [Tq, Tkv] tile temporaries in VMEM. The kernel raises Mosaic's scoped-vmem
 # limit past the 16 MB default (hardware-validated: N=16,385 d32 compiles
 # and runs); above this budget fall back to the separate passes.
+# Calibration (v5e, 128 MB physical VMEM): double-buffered output windows
+# roughly double the resident bytes, so a 32 MB estimate already compiles
+# to a 202 MB program at N=65,537 — 24 MB is the measured safe bound.
 _FUSED_BWD_VMEM_BUDGET = 24 * 1024 * 1024
 
 
