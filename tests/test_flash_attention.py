@@ -670,3 +670,30 @@ def test_fused_streaming_backward_matches_separate_passes(mode):
         np.testing.assert_allclose(dc1, dc2, rtol=1e-6, atol=1e-6)
     if rel is not None:
         np.testing.assert_allclose(dt1, dt2, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("tq,wpad", [(1, 128), (5, 128), (8, 256),
+                                     (13, 256), (128, 384), (256, 512)])
+def test_expand_shifts_matches_naive(tq, wpad):
+    """_expand_shifts doubling construction == per-row jnp.roll (the
+    definition the kernel's Toeplitz tile relies on)."""
+    row = jax.random.normal(jax.random.PRNGKey(tq), (1, wpad), jnp.float32)
+    want = jnp.concatenate([jnp.roll(row, i, axis=1) for i in range(tq)])
+    got = fa._expand_shifts(row, tq, wpad)
+    assert got.shape == (tq, wpad)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("tq,wpad", [(1, 128), (5, 128), (8, 256),
+                                     (13, 256), (128, 384), (256, 512)])
+def test_fold_shifts_is_expand_transpose(tq, wpad):
+    """_fold_shifts == sum_i roll(d[i], -i), the linear adjoint of
+    _expand_shifts (<expand(r), D> == <r, fold(D)>), which is what makes
+    the dtable gradient correct."""
+    d = jax.random.normal(jax.random.PRNGKey(100 + tq), (tq, wpad),
+                          jnp.float32)
+    want = sum(jnp.roll(d[i], -i) for i in range(tq))[None]
+    got = fa._fold_shifts(d, tq, wpad)
+    assert got.shape == (1, wpad)
+    # fp32 summation-order noise only: ~2e-5 abs on O(sqrt(tq)) sums.
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)

@@ -442,6 +442,51 @@ def _rel_prep(table_h):
     return padded[:, ::-1], ell, wfull
 
 
+_EXPAND_BASE = 8  # sublane-aligned base block for the doubling expansion
+
+
+def _expand_shifts(row, tq, wpad):
+    """[1, wpad] -> [tq, wpad] with out[i] = roll(row, i). Roll+select
+    cascade for the first <=8 rows (sublane-aligned base), then DOUBLING:
+    m <- concat(m, roll(m, rows)) gives rows r and r+rows shift r and
+    r+rows respectively. Total roll work is O(tq) rows instead of the
+    O(tq log tq) of an all-rows select cascade — at Tq=256 that is ~250
+    row-rolls vs ~2048, and the >=8-row steps stay sublane-aligned."""
+    base = min(_EXPAND_BASE, 1 << (tq - 1).bit_length() if tq > 1 else 1)
+    m = jnp.broadcast_to(row, (base, wpad))
+    for b in range((base - 1).bit_length()):
+        rolled = jnp.roll(m, 1 << b, axis=1)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (base, wpad), 0)
+               >> b) % 2 == 1
+        m = jnp.where(sel, rolled, m)
+    rows = base
+    while rows < tq:
+        m = jnp.concatenate([m, jnp.roll(m, rows, axis=1)], axis=0)
+        rows *= 2
+    return m[:tq]
+
+
+def _fold_shifts(d, tq, wpad):
+    """Transpose of _expand_shifts: [tq, wpad] -> [1, wpad] computing
+    sum_i roll(d[i], -i). Pairwise fold (top + roll(bottom, -half)) halves
+    the rows per pass — roll(roll(x, -half), -i) == roll(x, -(i + half)) —
+    down to the 8-row base, which a 3-pass select cascade + column sum
+    finishes. Same O(tq) total roll work as the expansion."""
+    rows = 1 << (tq - 1).bit_length() if tq > 1 else 1
+    if rows > tq:
+        d = jnp.pad(d, ((0, rows - tq), (0, 0)))  # zero rows fold away
+    while rows > _EXPAND_BASE:
+        half = rows // 2
+        d = d[:half] + jnp.roll(d[half:], -half, axis=1)
+        rows = half
+    for b in range((rows - 1).bit_length()):
+        rolled = jnp.roll(d, -(1 << b), axis=1)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, wpad), 0)
+               >> b) % 2 == 1
+        d = jnp.where(sel, rolled, d)
+    return jnp.sum(d, axis=0, keepdims=True)
+
+
 def _rel_tile(rrow_ref, q_start, k_start, tq, tk, ell, wfull):
     """[Tq, Tk] relative-bias tile generated in-kernel:
     out[i, j] = padded_table[(base + i - j) mod wfull], base = q_start -
@@ -461,13 +506,8 @@ def _rel_tile(rrow_ref, q_start, k_start, tq, tk, ell, wfull):
         # tests); at streaming N, Wfull >> wpad.
         reps = -(-wpad // wfull)
         r = jnp.concatenate([r] * reps, axis=1)
-    m = jnp.broadcast_to(r[:, :wpad], (tq, wpad))
-    m = jnp.roll(m, -(tq - 1), axis=1)
-    for b in range((tq - 1).bit_length()):
-        rolled = jnp.roll(m, 1 << b, axis=1)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (tq, wpad), 0)
-               >> b) % 2 == 1
-        m = jnp.where(sel, rolled, m)
+    m0 = jnp.roll(r[:, :wpad], -(tq - 1), axis=1)
+    m = _expand_shifts(m0, tq, wpad)
     return m[:, :tk]
 
 
@@ -482,12 +522,7 @@ def _rel_ds_to_dtabr(ds, q_start, k_start, ell, wfull):
     s_min = wfull - 1 - base - (tq - 1)
     d = jnp.pad(ds, ((0, 0), (0, wpad - tk)))
     d = jnp.roll(d, tq - 1, axis=1)
-    for b in range((tq - 1).bit_length()):
-        rolled = jnp.roll(d, -(1 << b), axis=1)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (tq, wpad), 0)
-               >> b) % 2 == 1
-        d = jnp.where(sel, rolled, d)
-    wg = jnp.sum(d, axis=0, keepdims=True)  # [1, wpad]
+    wg = _fold_shifts(d, tq, wpad)  # [1, wpad]
     if wpad > wfull:
         # Fold the over-wide window back modulo Wfull (transpose of the
         # periodic tiling in _rel_tile) via static-slice chunks.
