@@ -263,3 +263,29 @@ def test_infer_vit_config_stripped_buffers_filename_fallback(tmp_path):
     # No filename hint either -> "none" (plain shape inference).
     got2 = introspect.infer_vit_config(state, path="mystery.npz")
     assert got2.pos_encoding == "none"
+
+
+@pytest.mark.parametrize("pe_name,want_dim", [
+    ("rope-axial", 96),   # inv_freq [head_dim//4] -> head_dim*num_heads
+    ("rope-mixed", 96),   # freqs [2, H, head_dim//2] -> head_dim*H
+])
+def test_introspect_pe_only_checkpoint_recovers_dim(tmp_path, pe_name,
+                                                    want_dim):
+    """Pathological PE-only checkpoint (patch_embed/qkv keys stripped):
+    embed_dim is recovered from the rope buffer shapes — the case the
+    reference handles by regex-parsing load_state_dict size-mismatch
+    errors (/root/reference/rope_visualizer.py:249-275)."""
+    import numpy as np
+
+    from vit_rpe_rope_tpu.utils import checkpoint
+
+    path, cfg = _save_ckpt(tmp_path, pe_name)
+    state = checkpoint.load_state(path)
+    pe_only = {k: np.asarray(v) for k, v in state.items()
+               if k.startswith("pos_embed.")}
+    stripped = str(tmp_path / f"cifar10_{pe_name}_pe_only.npz")
+    np.savez(stripped, **pe_only)
+    model = introspect.load_pe_model(stripped, pe_name, num_heads=4)
+    assert model.embed_dim == want_dim
+    assert model.head_dim == 24
+    assert model.embed_dim == model.num_heads * model.head_dim

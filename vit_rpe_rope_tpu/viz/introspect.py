@@ -77,7 +77,8 @@ def load_pe_model(path: str, method: str, grid_size: int = 14,
     state = checkpoint.load_state(path)
     pe_params = {k: np.asarray(v) for k, v in state.items()
                  if k.startswith("pos_embed.")}
-    embed_dim = infer_embed_dim(state) or 192
+    sniffed_dim = infer_embed_dim(state)
+    embed_dim = sniffed_dim or 192
     grid = grid_from_filename(path, grid_size)
     head_dim = embed_dim // num_heads
 
@@ -113,10 +114,27 @@ def load_pe_model(path: str, method: str, grid_size: int = 14,
     elif method == "rope-axial":
         inv_freq = pe_params["pos_embed.inv_freq"]
         head_dim = 4 * int(inv_freq.shape[0])
+        if sniffed_dim is None:
+            # Pathological PE-only checkpoint (no patch_embed/qkv keys):
+            # recover the model width from the rope buffer itself. This is
+            # the situation the reference handles by loading a temp model
+            # and regex-parsing the size-mismatch error text
+            # (/root/reference/rope_visualizer.py:249-275); its formula
+            # there (dim = len(inv_freq)*2) disagrees with its own module
+            # (inv_freq has head_dim//4 entries — positional_encoding.py:
+            # 188-192 with dim=head_dim from vit.py:184), so we recover
+            # via the verified convention instead: head_dim*num_heads.
+            embed_dim = head_dim * num_heads
     elif method == "rope-mixed":
         freqs = pe_params["pos_embed.freqs"]
         num_heads = int(freqs.shape[1])
         head_dim = 2 * int(freqs.shape[2])
+        if sniffed_dim is None:
+            # Same recovery as rope-axial; the reference's regex path takes
+            # heads from shape[0] of the [2, H, head_dim/2] freqs (the
+            # axis-pair axis, always 2) — another internal inconsistency we
+            # do not reproduce (freqs carries H on axis 1).
+            embed_dim = head_dim * num_heads
     elif method == "absolute":
         pass  # max_len table carries no grid information
     else:
