@@ -672,6 +672,46 @@ def test_fused_streaming_backward_matches_separate_passes(mode):
         np.testing.assert_allclose(dt1, dt2, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["none", "rope", "poly", "rel"])
+def test_fused_backward_kv_segmented_matches_unsegmented(mode, monkeypatch):
+    """When dk/dv's full-extent residency would blow the VMEM budget, the
+    fused driver sweeps kv in segments at global column offsets
+    (_bwd_fused_segmented). Forcing tiny segments must reproduce the
+    single-call result: dq/dparam partials sum, dk/dv segments concat, and
+    rope rotates outside the loop (R(θ)ᵀ applied once)."""
+    b, h, n, d = 1, 2, 1100, 16
+    ks = jax.random.split(jax.random.PRNGKey(21), 6)
+    q, k, v, g = (jax.random.normal(ks[i], (b, h, n, d)) for i in range(4))
+    scale = d ** -0.5
+    poly = rel = freqs = None
+    if mode == "poly":
+        poly = (0.1 * jax.random.normal(ks[4], (h, 3)), 34)
+    elif mode == "rel":
+        rel = 0.5 * jax.random.normal(ks[4], (h, 2 * n - 1))
+    elif mode == "rope":
+        cos = jnp.cos(jax.random.normal(ks[4], (n - 1, d // 2)))
+        sin = jnp.sin(jax.random.normal(ks[5], (n - 1, d // 2)))
+        freqs = (cos, sin)
+    out, lse = fa._forward(q, k, v, scale, None, freqs,
+                           poly[0] if poly else None,
+                           poly[1] if poly else 0, rel, want_lse=True)
+    delta = jnp.sum(g * out, axis=-1)
+    args = (scale, q, k, v, freqs, g, lse, delta)
+    kw = dict(interpret=True, mm_dtype=jnp.float32, poly=poly, rel=rel)
+    want = fa._bwd_streaming_fused(*args, **kw)
+    # 1100 tokens / 512-col segments -> 3 segments (last one ragged).
+    monkeypatch.setattr(fa, "_fused_kv_seg_cols", lambda d_, qt, kvt: 512)
+    got = fa._bwd_streaming_fused(*args, **kw)
+    for a, b_ in zip(got[:3], want[:3]):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
+    if poly is not None:
+        # Per-segment partial sums change the fp32 accumulation order on
+        # the large-magnitude high-degree coefficients (~1e-5 relative).
+        np.testing.assert_allclose(got[3], want[3], rtol=5e-5, atol=1e-4)
+    if rel is not None:
+        np.testing.assert_allclose(got[4], want[4], rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("tq,wpad", [(1, 128), (5, 128), (8, 256),
                                      (13, 256), (128, 384), (256, 512)])
 def test_expand_shifts_matches_naive(tq, wpad):

@@ -537,6 +537,89 @@ def _rel_ds_to_dtabr(ds, q_start, k_start, ell, wfull):
     return pltpu.roll(full, s_min % wfull, 1)
 
 
+def _rel_scr_reps(wfull, n_qt, n_kt, q_tile, kv_tile):
+    """Periodic-extension count for the pre-rolled scratch row: the tile at
+    (qi, ki) reads a wpad window at offset (n_qt-1-qi)·q_tile + ki·kv_tile,
+    so the scratch must cover the full offset span plus one window."""
+    wpad = _round_up(q_tile + kv_tile - 1, LANE)
+    span = (n_qt - 1) * q_tile + (n_kt - 1) * kv_tile + wpad
+    return -(-span // wfull)
+
+
+def _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull):
+    """Alignment index A of the pre-rolled scratch: scr[p] = rrow[(A + p)
+    mod wfull]. Chosen so the (qi, ki) tile's aligned window r (what
+    _rel_tile computed with its per-tile full-width roll) sits at offset
+    (n_qt-1-qi)·q_tile + ki·kv_tile: A = s_min(qi=n_qt-1, ki=0) = wfull -
+    1 - base_ref - (q_tile-1). The expansion's mod-wpad row rolls only
+    permute WITHIN the window, so the window must be read at the s_min
+    alignment (the -(tq-1) seed roll stays per-tile, a cheap [1, wpad]
+    static roll)."""
+    return (wfull - 1 - (row0 + (n_qt - 1) * q_tile - col0 + ell - 1)
+            - (q_tile - 1))
+
+
+def _rel_scr_init(rrow_ref, hi, scr_ref, row0, col0, n_qt, q_tile, ell,
+                  wfull):
+    """Once per (b, h): roll this head's reversed table row to the scratch
+    alignment (ONE dynamic pltpu.roll) and tile it periodically across the
+    scratch. Moves ALL O(Wfull)-wide work out of the per-tile path — the
+    N=65,537 measurement showed the per-tile [H, Wfull] read + head select
+    + full-width dynamic roll (each O(N) for O(Tq·Tkv) tile work) scaling
+    the relative mode at ~O(N³): 2.79 s/step vs rope's 0.71 where the
+    N=16,385 ratio was 1.16×."""
+    row = _head_row(rrow_ref[...].astype(jnp.float32), hi)  # [1, Wfull]
+    a = _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull)
+    rolled = pltpu.roll(row, (wfull - a % wfull) % wfull, 1)
+    for r in range(scr_ref.shape[1] // wfull):
+        scr_ref[:, r * wfull:(r + 1) * wfull] = rolled
+
+
+def _rel_tile_off(qi, ki, n_qt, q_tile, kv_tile):
+    """Scratch window offset of tile (qi, ki); lane-aligned whenever both
+    tile sizes are (the streaming defaults 256/512 — the hint lets Mosaic
+    lower the dynamic lane slice as a block copy)."""
+    off = (n_qt - 1 - qi) * q_tile + ki * kv_tile
+    if q_tile % LANE == 0 and kv_tile % LANE == 0:
+        off = pl.multiple_of(off, LANE)
+    return off
+
+
+def _rel_tile_scr(scr_ref, off, tq, tk):
+    """[Tq, Tk] relative-bias tile from the pre-rolled scratch: a [1, wpad]
+    window read + the O(Tq) doubling expansion — no O(Wfull) work. The
+    -(tq-1) seed roll wraps mod wpad by design: the expansion's row rolls
+    index the same wpad-periodic window (exactly _rel_tile's structure)."""
+    wpad = _round_up(tq + tk - 1, LANE)
+    r = scr_ref[:, pl.ds(off, wpad)]
+    m0 = jnp.roll(r, -(tq - 1), axis=1)
+    return _expand_shifts(m0, tq, wpad)[:, :tk]
+
+
+def _rel_scatter_scr(acc_ref, off, dsz):
+    """Transpose of _rel_tile_scr: fold the (zeroed-outside-valid) ds tile
+    and accumulate the [1, wpad] window into the EXTENDED accumulator at
+    the tile's offset; _rel_scr_fold collapses the extension once at the
+    end (the old per-tile path padded to Wfull and rolled — O(Wfull) per
+    tile)."""
+    tq, tk = dsz.shape
+    wpad = _round_up(tq + tk - 1, LANE)
+    d = jnp.pad(dsz, ((0, 0), (0, wpad - tk)))
+    d = jnp.roll(d, tq - 1, axis=1)
+    acc_ref[:, pl.ds(off, wpad)] += _fold_shifts(d, tq, wpad)
+
+
+def _rel_scr_fold(acc, row0, col0, n_qt, q_tile, ell, wfull):
+    """[1, reps·Wfull] extended accumulator -> [1, Wfull] dtabr row: fold
+    the periodic extension chunks and undo the scratch alignment (the
+    adjoint of _rel_scr_init's single roll)."""
+    folded = acc[:, :wfull]
+    for r in range(1, acc.shape[1] // wfull):
+        folded = folded + acc[:, r * wfull:(r + 1) * wfull]
+    a = _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull)
+    return pltpu.roll(folded, a % wfull, 1)
+
+
 def _rel_bias_cols(table_h, n_rows, start, width, row_start=0):
     """jnp twin for the non-kernel sites (dense fallback, streaming-lse
     chunks, CP ring per-chunk generation): [H, n_rows, width] bias for token
@@ -755,7 +838,8 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                    scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
                    poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0,
-                   lse_ref=None, offs_ref=None, chunk_valid=None):
+                   lse_ref=None, offs_ref=None, chunk_valid=None,
+                   rel_scr=None):
     """offs_ref (SMEM [2] int32, optional): GLOBAL (row0, col0) offsets of
     this call's q rows / kv columns — the CP ring passes its shard row
     offset and rotating chunk column so bias generation and the n_valid
@@ -781,12 +865,24 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
 
     ki = pl.program_id(3)
     n_kv = pl.num_programs(3)
+    qi = pl.program_id(2)
+    n_qt = pl.num_programs(2)
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
 
     @pl.when(ki == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
+
+    if rel_scr is not None:
+        hi = pl.program_id(1)
+
+        @pl.when((ki == 0) & (qi == 0))
+        def _():
+            _rel_scr_init(rrow_ref, hi, rel_scr, row0, col0,
+                          n_qt, q_ref.shape[2], rel_ell, rel_wfull)
 
     q = q_ref[0, 0].astype(jnp.float32)  # [Tq, D]
     k = k_ref[0, 0].astype(jnp.float32)  # [Tkv, D]
@@ -801,20 +897,22 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [Tq, Tkv]
-    row0 = offs_ref[0] if offs_ref is not None else 0
-    col0 = offs_ref[1] if offs_ref is not None else 0
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
     if poly_grid:
         s = s + _poly_tile((coeff_ref, pl.program_id(1)),
-                           row0 + pl.program_id(2) * s.shape[0],
+                           row0 + qi * s.shape[0],
                            col0 + ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
     if rel_ell:
-        s = s + _rel_tile((rrow_ref, pl.program_id(1)),
-                          row0 + pl.program_id(2) * s.shape[0],
-                          col0 + ki * kv_tile,
-                          s.shape[0], s.shape[1], rel_ell, rel_wfull)
+        if rel_scr is not None:
+            off = _rel_tile_off(qi, ki, n_qt, s.shape[0], kv_tile)
+            s = s + _rel_tile_scr(rel_scr, off, s.shape[0], s.shape[1])
+        else:
+            s = s + _rel_tile((rrow_ref, pl.program_id(1)),
+                              row0 + qi * s.shape[0],
+                              col0 + ki * kv_tile,
+                              s.shape[0], s.shape[1], rel_ell, rel_wfull)
     col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -952,12 +1050,25 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
 
+    scratch_shapes = [
+        pltpu.VMEM((q_tile, d), jnp.float32),
+        pltpu.VMEM((q_tile, 1), jnp.float32),
+        pltpu.VMEM((q_tile, 1), jnp.float32),
+    ]
+    if rel is not None:
+        reps = _rel_scr_reps(rel_wfull, nq // q_tile, nk // kv_tile,
+                             q_tile, kv_tile)
+        scratch_shapes.append(
+            pltpu.VMEM((1, reps * rel_wfull), jnp.float32))
+
     def kernel_entry(*refs):
         ins = refs[:len(inputs)]
         outs = refs[len(inputs):len(inputs) + len(out_shape)]
-        acc_ref, m_ref, l_ref = refs[len(inputs) + len(out_shape):]
+        scr = refs[len(inputs) + len(out_shape):]
+        acc_ref, m_ref, l_ref = scr[:3]
         kernel(*ins, out_ref=outs[0], acc_ref=acc_ref, m_ref=m_ref,
-               l_ref=l_ref, lse_ref=outs[1] if want_lse else None)
+               l_ref=l_ref, lse_ref=outs[1] if want_lse else None,
+               rel_scr=scr[3] if rel is not None else None)
 
     res = pl.pallas_call(
         kernel_entry,
@@ -965,11 +1076,7 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         in_specs=in_specs,
         out_specs=out_specs if want_lse else out_specs[0],
         out_shape=out_shape if want_lse else out_shape[0],
-        scratch_shapes=[
-            pltpu.VMEM((q_tile, d), jnp.float32),
-            pltpu.VMEM((q_tile, 1), jnp.float32),
-            pltpu.VMEM((q_tile, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
     if want_lse:
@@ -1058,14 +1165,27 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
         has_bias=False, has_rope=False, mm_dtype=mm_dtype,
         chunk_valid=nc if nc != nk else None, **kw)
 
+    scratch_shapes = [
+        pltpu.VMEM((q_tile, d), jnp.float32),
+        pltpu.VMEM((q_tile, 1), jnp.float32),
+        pltpu.VMEM((q_tile, 1), jnp.float32),
+    ]
+    if rel is not None:
+        reps = _rel_scr_reps(kw["rel_wfull"], nq // q_tile, nk // kv_tile,
+                             q_tile, kv_tile)
+        scratch_shapes.append(
+            pltpu.VMEM((1, reps * kw["rel_wfull"]), jnp.float32))
+
     def entry(*refs):
         n_in = 3 + len(extra)
         ins = refs[:n_in]
         offs_ref = refs[n_in]
         out_ref, lse_ref = refs[n_in + 1:n_in + 3]
-        acc, m_ref, l_ref = refs[n_in + 3:]
+        scr = refs[n_in + 3:]
+        acc, m_ref, l_ref = scr[:3]
         kernel(*ins, out_ref=out_ref, acc_ref=acc, m_ref=m_ref, l_ref=l_ref,
-               lse_ref=lse_ref, offs_ref=offs_ref)
+               lse_ref=lse_ref, offs_ref=offs_ref,
+               rel_scr=scr[3] if rel is not None else None)
 
     out, lse = pl.pallas_call(
         entry,
@@ -1081,11 +1201,7 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
         ],
         out_shape=[jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((q_tile, d), jnp.float32),
-            pltpu.VMEM((q_tile, 1), jnp.float32),
-            pltpu.VMEM((q_tile, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(qp, kp, vp, *extra, offs)
     return out[:, :, :nl, :], lse[:, :, :nl, 0]
@@ -1503,19 +1619,24 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                              *rest, dq_ref, dk_ref, dv_ref, dparam_ref=None,
-                             acc_ref=None, scale, n_valid, kv_tile,
-                             has_rope, mm_dtype, poly_grid=0, poly_degree=0,
-                             rel_ell=0, rel_wfull=0, chunk_valid=None):
+                             acc_ref=None, rel_scr=None, scale, n_valid,
+                             kv_tile, has_rope, mm_dtype, poly_grid=0,
+                             poly_degree=0, rel_ell=0, rel_wfull=0,
+                             chunk_valid=None):
     """ONE-pass streaming backward (round-3): dq, dk, dv and the PE-parameter
     gradient from a single (b, h, q, kv) sweep — each tile's s/p/ds are
     computed ONCE and feed all four results, where the separate-pass design
     recomputed them 3-4× (for relative the Toeplitz roll-expansion dominated
-    every pass: ROADMAP item 6). The trick is output residency: dq/dk/dv
-    out blocks are the FULL per-(b, h) [N, D] extent, so they stay in VMEM
+    every pass: ROADMAP item 6). The trick is output residency: dk/dv out
+    blocks are the FULL per-(b, h) [N, D] extent, so they stay in VMEM
     across the whole (q, kv) sweep and accumulate in place — affordable
     because [N, D] is the problem's O(N) memory, not its O(N²) (N=16,385 ×
-    d32 = 2 MB/block; the driver guards total VMEM and falls back to the
-    separate passes when oversized).
+    d32 = 2 MB/block). dq needs no full-extent residency: its block is
+    indexed by qi, which is CONSTANT across the inner ki sweep, so the
+    standard revisit-accumulate pattern (zero at ki == 0, += per tile,
+    write-back when qi advances) gives dq a [q_tile, D] footprint — the
+    VMEM bound is then ~2·N·D (dk+dv), and the driver segments the kv
+    extent when even that exceeds the budget.
 
     Handles none/fixed-rope/poly/rel regimes; dense-bias and learnable-
     frequency modes keep the separate passes (their extra outputs don't fit
@@ -1537,16 +1658,25 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     hi = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    n_qt = pl.num_programs(2)
     first = (qi == 0) & (ki == 0)
-    last = ((qi == pl.num_programs(2) - 1) & (ki == pl.num_programs(3) - 1))
+    last = ((qi == n_qt - 1) & (ki == pl.num_programs(3) - 1))
+    row0 = offs_ref[0] if offs_ref is not None else 0
+    col0 = offs_ref[1] if offs_ref is not None else 0
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
     @pl.when(first)
     def _():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
         if acc_ref is not None:
             acc_ref[...] = jnp.zeros_like(acc_ref)
+        if rel_scr is not None:
+            _rel_scr_init(rrow_ref, hi, rel_scr, row0, col0, n_qt,
+                          q_ref.shape[2], rel_ell, rel_wfull)
 
     if dparam_ref is not None:
         @pl.when(first & (pl.program_id(0) == 0) & (hi == 0))
@@ -1568,8 +1698,6 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     # Local coords index the resident output blocks; global coords (ring
     # chunk offsets via offs_ref) drive bias generation and validity.
     lq_start, lk_start = qi * tq, ki * kv_tile
-    row0 = offs_ref[0] if offs_ref is not None else 0
-    col0 = offs_ref[1] if offs_ref is not None else 0
     q_start, k_start = row0 + lq_start, col0 + lk_start
     dist = valid = None
     if poly_grid:
@@ -1577,9 +1705,14 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                                        tq, tk, poly_grid, poly_degree,
                                        n_valid, with_dist=True)
         s = s + bias
+    rel_off = None
     if rel_ell:
-        s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
-                          rel_ell, rel_wfull)
+        if rel_scr is not None:
+            rel_off = _rel_tile_off(qi, ki, n_qt, tq, kv_tile)
+            s = s + _rel_tile_scr(rel_scr, rel_off, tq, tk)
+        else:
+            s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
+                              rel_ell, rel_wfull)
     col_l = lk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     kmask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -1613,7 +1746,7 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                        -sin_q_ref[0].astype(jnp.float32))
         dk_c = _rotate(dk_c, cos_k_ref[0].astype(jnp.float32),
                        -sin_k_ref[0].astype(jnp.float32))
-    dq_ref[0, 0, pl.ds(lq_start, tq), :] += dq_c
+    dq_ref[0, 0] += dq_c
     dk_ref[0, 0, pl.ds(lk_start, tk), :] += dk_c
     dv_ref[0, 0, pl.ds(lk_start, tk), :] += dv_c
 
@@ -1629,27 +1762,98 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     if rel_ell and dparam_ref is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         dsz = jnp.where((rows < n_valid) & kmask, ds, 0.0)
-        acc_ref[...] += _rel_ds_to_dtabr(dsz, q_start, k_start, rel_ell,
-                                         rel_wfull)
+        if rel_scr is not None:
+            _rel_scatter_scr(acc_ref, rel_off, dsz)
+        else:
+            acc_ref[...] += _rel_ds_to_dtabr(dsz, q_start, k_start, rel_ell,
+                                             rel_wfull)
 
     if dparam_ref is not None:
         @pl.when(last)
         def _():
+            if rel_ell and rel_scr is not None:
+                # Collapse the extended accumulator to the [1, Wfull] dtabr
+                # row (fold periodic chunks + undo the scratch alignment).
+                row = _rel_scr_fold(acc_ref[...], row0, col0, n_qt, tq,
+                                    rel_ell, rel_wfull)
+            else:
+                row = acc_ref[...]
             sel = jax.lax.broadcasted_iota(
                 jnp.int32, dparam_ref.shape, 0) == hi
             dparam_ref[...] += jnp.where(
-                sel, jnp.broadcast_to(acc_ref[...], dparam_ref.shape),
+                sel, jnp.broadcast_to(row, dparam_ref.shape),
                 0.0).astype(dparam_ref.dtype)
 
 
-# The fused backward holds per-(b, h) full [N, D] dq/dk/dv blocks plus the
-# [Tq, Tkv] tile temporaries in VMEM. The kernel raises Mosaic's scoped-vmem
-# limit past the 16 MB default (hardware-validated: N=16,385 d32 compiles
-# and runs); above this budget fall back to the separate passes.
-# Calibration (v5e, 128 MB physical VMEM): double-buffered output windows
-# roughly double the resident bytes, so a 32 MB estimate already compiles
-# to a 202 MB program at N=65,537 — 24 MB is the measured safe bound.
-_FUSED_BWD_VMEM_BUDGET = 24 * 1024 * 1024
+# The fused backward holds per-(b, h) full [N, D] dk/dv blocks plus the
+# double-buffered [q_tile, D] dq window and [Tq, Tkv] tile temporaries in
+# VMEM; the driver raises Mosaic's scoped-vmem limit to 100 MB (v5e has
+# 128 MB physical). When the resident estimate exceeds this budget the
+# driver SEGMENTS the kv extent (one fused call per segment at global
+# column offsets) instead of falling back — so the fused path engages at
+# any N. 64 MB leaves ~35 MB headroom under the raised limit for input
+# windows, kernel temporaries, and register spills (the N=65,537 compile
+# report shows those at ~5 MB total).
+_FUSED_BWD_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _fused_kv_seg_cols(d, q_tile, kv_tile):
+    """Largest kv extent (kv_tile multiple) whose fused-backward residency
+    fits _FUSED_BWD_VMEM_BUDGET. Mosaic double-buffers EVERY window —
+    including the constant-index resident outputs — and pads the minor dim
+    to the 128-lane register width (the N=65,537 compile report prices each
+    full-extent f32[66048, 32] dk/dv window at 64.5 MB = cols × 128 lanes ×
+    4 bytes × 2 buffers), so dk+dv cost 16·cols·d_pad bytes and the dq
+    window 8·q_tile·d_pad. Floored at one kv_tile (head dims large enough
+    to overshoot even that do not occur in this model family)."""
+    d_pad = _round_up(d, LANE)
+    tile_tmp = 6 * q_tile * kv_tile * 4
+    cols = ((_FUSED_BWD_VMEM_BUDGET - tile_tmp - 8 * q_tile * d_pad)
+            // (16 * d_pad))
+    return max(kv_tile, cols // kv_tile * kv_tile)
+
+
+def _bwd_fused_segmented(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
+                         mm_dtype, q_tile, kv_tile, poly, rel, n_valid,
+                         row0, col0, seg_cols):
+    """kv-segmented fused backward: when dk/dv's full-extent residency would
+    exceed _FUSED_BWD_VMEM_BUDGET (very long N or large head_dim), sweep the
+    kv extent in seg_cols-column segments — one fused-kernel call each at
+    global column offsets, the same mechanism the CP ring's chunk backward
+    uses. Each (q, kv) tile is still visited exactly once, so per-tile work
+    is unchanged; only dq/dparam partial sums and the dk/dv concat happen at
+    the jnp level (O(N·D) traffic). Fixed-frequency rope is applied OUTSIDE
+    the segment loop — rotate q/k once, inverse-rotate dq/dk once — because
+    the kernel's rotation tables are indexed from row 0 of the call's kv
+    extent, which would be wrong at a segment offset."""
+    if freqs_cis is not None:
+        cos, sin = freqs_cis
+        q, k = reference_attention.rotate_qk_skip_cls(q, k, freqs_cis)
+    base = 0 if col0 is None else col0
+    nc = k.shape[2]
+    dq = dcoeff = dtable = None
+    dks, dvs = [], []
+    for s0 in range(0, nc, seg_cols):
+        dq_s, dk_s, dv_s, dc_s, dt_s = _bwd_streaming_fused(
+            scale, q, k[:, :, s0:s0 + seg_cols], v[:, :, s0:s0 + seg_cols],
+            None, g, lse, delta, interpret, mm_dtype=mm_dtype,
+            q_tile=q_tile, kv_tile=kv_tile, poly=poly, rel=rel,
+            n_valid=n_valid, row0=row0, col0=base + s0)
+        dq = dq_s if dq is None else dq + dq_s
+        dks.append(dk_s)
+        dvs.append(dv_s)
+        if dc_s is not None:
+            dcoeff = dc_s if dcoeff is None else dcoeff + dc_s
+        if dt_s is not None:
+            dtable = dt_s if dtable is None else dtable + dt_s
+    dk = jnp.concatenate(dks, axis=2)
+    dv = jnp.concatenate(dvs, axis=2)
+    if freqs_cis is not None:
+        # Gradients w.r.t. the unrotated q/k: R(θ)ᵀ = R(−θ), i.e. rotate
+        # with (cos, −sin) — the same inverse the unsegmented kernel applies
+        # per tile.
+        dq, dk = reference_attention.rotate_qk_skip_cls(dq, dk, (cos, -sin))
+    return dq, dk, dv, dcoeff, dtable
 
 
 def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
@@ -1658,8 +1862,9 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                          col0=None):
     """Driver for _stream_bwd_fused_kernel. Returns (dq, dk, dv, dcoeff,
     dtable) — f32 grads cast by the caller. Pre-conditions (enforced by
-    _bwd's dispatch): no dense bias, no learnable frequencies, VMEM budget
-    respected.
+    _bwd's dispatch): no dense bias, no learnable frequencies. VMEM is
+    self-bounded: oversized kv extents are swept in segments
+    (_bwd_fused_segmented).
 
     row0/col0 (traced, optional): GLOBAL offsets of the q rows / kv columns
     — the CP ring's per-chunk call (streaming_chunk_bwd): k/v are then one
@@ -1669,6 +1874,12 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     nc = k.shape[2]
     if n_valid is None:
         n_valid = n
+    seg_cols = _fused_kv_seg_cols(d, min(q_tile, _round_up(n, 8)),
+                                  min(kv_tile, _round_up(nc, LANE)))
+    if _round_up(nc, kv_tile) > seg_cols:
+        return _bwd_fused_segmented(
+            scale, q, k, v, freqs_cis, g, lse, delta, interpret, mm_dtype,
+            q_tile, kv_tile, poly, rel, n_valid, row0, col0, seg_cols)
     poly_grid = poly_degree = 0
     rel_ell = rel_wfull = 0
     rrow = None
@@ -1734,10 +1945,12 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         poly_grid=poly_grid, poly_degree=poly_degree,
         rel_ell=rel_ell, rel_wfull=rel_wfull, chunk_valid=chunk_valid)
 
-    # dq/dk/dv out blocks are the full per-(b, h) extent — resident across
-    # the (q, kv) sweep, accumulated in place.
+    # dk/dv out blocks are the full per-(b, h) extent — resident across
+    # the (q, kv) sweep, accumulated in place. dq's block is per q-tile:
+    # its index is constant across the inner ki sweep (revisit-accumulate),
+    # so only [q_tile, d] of it is ever resident.
     out_specs = [
-        pl.BlockSpec((1, 1, nq, d), lambda bi, hi, qi, ki: (bi, hi, 0, 0),
+        pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, nk, d), lambda bi, hi, qi, ki: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1749,19 +1962,28 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                  jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)]
     scratch = []
     want_param = poly is not None or rel is not None
+    rel_reps = 0
+    if rel is not None:
+        rel_reps = _rel_scr_reps(rel_wfull, nq // q_tile, nk // kv_tile,
+                                 q_tile, kv_tile)
     if want_param:
         w = LANE if poly is not None else rel_wfull
         out_specs.append(pl.BlockSpec(
             (h, w), lambda bi, hi, qi, ki: (0, 0),
             memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.float32))
-        scratch.append(pltpu.VMEM((1, w), jnp.float32))
+        # rel's dtable accumulator is the EXTENDED row (folded at flush).
+        acc_w = rel_reps * rel_wfull if rel is not None else w
+        scratch.append(pltpu.VMEM((1, acc_w), jnp.float32))
+    if rel is not None:
+        scratch.append(pltpu.VMEM((1, rel_reps * rel_wfull), jnp.float32))
 
     n_extra_specs = len(extra_shapes)
     rope_inputs = 4 if has_rope else 0
     offs_inputs = []
-    if row0 is not None:
-        offs, offs_spec = _smem_offs(row0, 0 if col0 is None else col0)
+    if row0 is not None or col0 is not None:
+        offs, offs_spec = _smem_offs(0 if row0 is None else row0,
+                                     0 if col0 is None else col0)
         offs_inputs = [offs]
         in_specs.append(offs_spec)
 
@@ -1769,10 +1991,13 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         n_in = 6 + n_extra_specs + rope_inputs + len(offs_inputs)
         ins = refs[:n_in]
         outs = refs[n_in:n_in + len(out_shape)]
+        scr = refs[n_in + len(out_shape):]
         kw = {}
         if want_param:
             kw["dparam_ref"] = outs[3]
-            kw["acc_ref"] = refs[n_in + len(out_shape)]
+            kw["acc_ref"] = scr[0]
+        if rel is not None:
+            kw["rel_scr"] = scr[-1]
         kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
 
     # Input order must match the kernel's *rest unpacking (and the spec
@@ -2248,13 +2473,11 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
                    or rel_table is not None)
     if (n > STREAMING_THRESHOLD
             or not _dense_attn_fits(q.shape[1], n, has_biasish)):
-        d_ = q.shape[3]
-        nq_ = _round_up(n, 256)
-        nk_ = _round_up(n, KV_TILE)
-        fused_bytes = ((nq_ + 2 * nk_) * d_ * 4          # resident dq/dk/dv
-                       + 6 * 256 * KV_TILE * 4)          # tile temporaries
-        use_fused = (bias is None and not learnable_freqs and lse is not None
-                     and fused_bytes <= _FUSED_BWD_VMEM_BUDGET)
+        # VMEM is bounded inside the fused driver (per-q-tile dq residency +
+        # kv segmentation), so the fused path engages at ANY N for the modes
+        # it supports.
+        use_fused = (bias is None and not learnable_freqs
+                     and lse is not None)
         poly = (poly_coeff, poly_grid) if poly_coeff is not None else None
         if use_fused:
             # ONE-pass backward: s/p/ds per tile computed once for all of
@@ -2280,8 +2503,8 @@ def _bwd(scale, poly_grid, residuals, g, mm_dtype=jnp.bfloat16):
                 dtable = dtable.astype(rel_table.dtype)
             return dq, dk, dv, dbias, dfreqs, dcoeff, dtable
         # Separate-pass backward: dense-bias mode (in-kernel batch-
-        # accumulated dbias), learnable rope-mixed frequencies (dqr/dkr
-        # outputs), or shapes whose resident [N, D] blocks exceed VMEM.
+        # accumulated dbias) or learnable rope-mixed frequencies (dqr/dkr
+        # outputs) — their extra outputs don't fit the fused residency.
         dq, dk, dv, dbias, dfreqs, dcoeff, dtable = _bwd_streaming(
             scale, q, k, v, bias, freqs_cis, out, g,
             interpret=interpret, mm_dtype=mm_dtype,
