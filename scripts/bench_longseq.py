@@ -32,7 +32,9 @@ import numpy as np  # noqa: E402
 CONFIGS = {
     4097: dict(img_size=256, batch=4),
     16385: dict(img_size=512, batch=2),
-    65537: dict(img_size=1024, batch=1),  # 256² patches + cls, one chip
+    65537: dict(img_size=1024, batch=1),   # 256² patches + cls, one chip
+    262145: dict(img_size=2048, batch=1),  # 512² patches + cls — the fused
+    # backward sweeps kv in ~9 segments; the materialized bias would be 1.1 TB
 }
 
 

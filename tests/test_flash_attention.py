@@ -700,7 +700,7 @@ def test_fused_backward_kv_segmented_matches_unsegmented(mode, monkeypatch):
     kw = dict(interpret=True, mm_dtype=jnp.float32, poly=poly, rel=rel)
     want = fa._bwd_streaming_fused(*args, **kw)
     # 1100 tokens / 512-col segments -> 3 segments (last one ragged).
-    monkeypatch.setattr(fa, "_fused_kv_seg_cols", lambda d_, qt, kvt: 512)
+    monkeypatch.setattr(fa, "_fused_kv_seg_cols", lambda d_, qt, kvt, fixed_extra=0: 512)
     got = fa._bwd_streaming_fused(*args, **kw)
     for a, b_ in zip(got[:3], want[:3]):
         np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)

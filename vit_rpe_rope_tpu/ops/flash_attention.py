@@ -568,7 +568,8 @@ def _rel_scr_init(rrow_ref, hi, scr_ref, row0, col0, n_qt, q_tile, ell,
     + full-width dynamic roll (each O(N) for O(Tq·Tkv) tile work) scaling
     the relative mode at ~O(N³): 2.79 s/step vs rope's 0.71 where the
     N=16,385 ratio was 1.16×."""
-    row = _head_row(rrow_ref[...].astype(jnp.float32), hi)  # [1, Wfull]
+    del hi  # head selection happens in the BlockSpec ([1, 1, Wfull] window)
+    row = rrow_ref[0].astype(jnp.float32)  # [1, Wfull]
     a = _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull)
     rolled = pltpu.roll(row, (wfull - a % wfull) % wfull, 1)
     for r in range(scr_ref.shape[1] // wfull):
@@ -905,14 +906,13 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                            col0 + ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
     if rel_ell:
-        if rel_scr is not None:
-            off = _rel_tile_off(qi, ki, n_qt, s.shape[0], kv_tile)
-            s = s + _rel_tile_scr(rel_scr, off, s.shape[0], s.shape[1])
-        else:
-            s = s + _rel_tile((rrow_ref, pl.program_id(1)),
-                              row0 + qi * s.shape[0],
-                              col0 + ki * kv_tile,
-                              s.shape[0], s.shape[1], rel_ell, rel_wfull)
+        # rrow arrives as the PER-HEAD [1, Wfull] window (both drivers) —
+        # _rel_tile's head select would zero heads > 0 here, so the scratch
+        # path is mandatory.
+        if rel_scr is None:
+            raise ValueError("relative mode requires the rel_scr scratch")
+        off = _rel_tile_off(qi, ki, n_qt, s.shape[0], kv_tile)
+        s = s + _rel_tile_scr(rel_scr, off, s.shape[0], s.shape[1])
     col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -1014,9 +1014,15 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         if n > rel_ell:
             raise ValueError(
                 f"relative table covers L={rel_ell} tokens < sequence {n}")
-        inputs.append(rrow)
+        inputs.append(rrow[:, None])
+        # Per-head window: the full [H, Wfull] row double-buffers to
+        # 2·H·Wfull·4 bytes (16.8 MB at N=262k), which alone blew the
+        # 16 MB scoped-vmem default; the kernel only ever reads head hi.
+        # Shipped [H, 1, Wfull] so the window's LAST TWO dims equal the
+        # array's (Mosaic's block rule) while the head dim stays blockable.
         in_specs.append(
-            pl.BlockSpec((h, rel_wfull), lambda bi, hi, qi, ki: (0, 0),
+            pl.BlockSpec((1, 1, rel_wfull),
+                         lambda bi, hi, qi, ki: (hi, 0, 0),
                          memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
@@ -1070,6 +1076,14 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
                l_ref=l_ref, lse_ref=outs[1] if want_lse else None,
                rel_scr=scr[3] if rel is not None else None)
 
+    call_kw = {}
+    if rel is not None and not interpret:
+        # The relative mode's O(Wfull ≈ 2N) residents (per-head rrow window,
+        # pre-rolled periodic scratch) outgrow the compiler's default 16 MB
+        # scoped-vmem stack at N ≳ 200k (22.6 MB at N=262,145); raise the
+        # ceiling — the residents are O(N), far below physical VMEM.
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     res = pl.pallas_call(
         kernel_entry,
         grid=grid,
@@ -1078,6 +1092,7 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         out_shape=out_shape if want_lse else out_shape[0],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **call_kw,
     )(*inputs)
     if want_lse:
         out, lse = res
@@ -1120,8 +1135,11 @@ def _chunk_extras(poly, rel, h, n_valid):
                 f"relative table covers L={rel_ell} tokens < sequence "
                 f"{n_valid}")
         kw.update(rel_ell=rel_ell, rel_wfull=rel_wfull)
-        extra.append(rrow)
-        specs.append((h, rel_wfull))
+        extra.append(rrow[:, None])
+        # Per-head [H, 1, Wfull] window (see _forward_streaming_impl): the
+        # kernel only reads head hi, and [H, Wfull] double-buffers at
+        # O(H·N) VMEM.
+        specs.append(((1, 1, rel_wfull), lambda bi, hi, qi, ki: (hi, 0, 0)))
     return extra, specs, kw
 
 
@@ -1156,7 +1174,9 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, kv_tile, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                      memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(s, lambda bi, hi, qi, ki: (0, 0),
+    ] + [pl.BlockSpec(s[0], s[1], memory_space=pltpu.VMEM)
+         if isinstance(s[0], tuple) else
+         pl.BlockSpec(s, lambda bi, hi, qi, ki: (0, 0),
                       memory_space=pltpu.VMEM) for s in extra_shapes] \
       + [offs_spec]
 
@@ -1187,6 +1207,11 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
                lse_ref=lse_ref, offs_ref=offs_ref,
                rel_scr=scr[3] if rel is not None else None)
 
+    call_kw = {}
+    if rel is not None and not interpret:
+        # Same O(Wfull) residents as _forward_streaming_impl.
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     out, lse = pl.pallas_call(
         entry,
         grid=grid,
@@ -1203,6 +1228,7 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
                    jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32)],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **call_kw,
     )(qp, kp, vp, *extra, offs)
     return out[:, :, :nl, :], lse[:, :, :nl, 0]
 
@@ -1707,12 +1733,12 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         s = s + bias
     rel_off = None
     if rel_ell:
-        if rel_scr is not None:
-            rel_off = _rel_tile_off(qi, ki, n_qt, tq, kv_tile)
-            s = s + _rel_tile_scr(rel_scr, rel_off, tq, tk)
-        else:
-            s = s + _rel_tile((rrow_ref, hi), q_start, k_start, tq, tk,
-                              rel_ell, rel_wfull)
+        # Per-head [1, Wfull] rrow window — scratch path mandatory (see
+        # _stream_kernel).
+        if rel_scr is None:
+            raise ValueError("relative mode requires the rel_scr scratch")
+        rel_off = _rel_tile_off(qi, ki, n_qt, tq, kv_tile)
+        s = s + _rel_tile_scr(rel_scr, rel_off, tq, tk)
     col_l = lk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     kmask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -1762,11 +1788,7 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     if rel_ell and dparam_ref is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         dsz = jnp.where((rows < n_valid) & kmask, ds, 0.0)
-        if rel_scr is not None:
-            _rel_scatter_scr(acc_ref, rel_off, dsz)
-        else:
-            acc_ref[...] += _rel_ds_to_dtabr(dsz, q_start, k_start, rel_ell,
-                                             rel_wfull)
+        _rel_scatter_scr(acc_ref, rel_off, dsz)
 
     if dparam_ref is not None:
         @pl.when(last)
@@ -1797,19 +1819,23 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 _FUSED_BWD_VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _fused_kv_seg_cols(d, q_tile, kv_tile):
+def _fused_kv_seg_cols(d, q_tile, kv_tile, fixed_extra=0):
     """Largest kv extent (kv_tile multiple) whose fused-backward residency
     fits _FUSED_BWD_VMEM_BUDGET. Mosaic double-buffers EVERY window —
     including the constant-index resident outputs — and pads the minor dim
     to the 128-lane register width (the N=65,537 compile report prices each
     full-extent f32[66048, 32] dk/dv window at 64.5 MB = cols × 128 lanes ×
     4 bytes × 2 buffers), so dk+dv cost 16·cols·d_pad bytes and the dq
-    window 8·q_tile·d_pad. Floored at one kv_tile (head dims large enough
-    to overshoot even that do not occur in this model family)."""
+    window 8·q_tile·d_pad. fixed_extra: bytes of segment-size-independent
+    residents (the relative mode's rrow window / dtable output / Toeplitz
+    scratches scale with Wfull ≈ 2N, not with the segment — at N=262,145
+    they total ~25 MB, which must come out of the dk/dv allowance). Floored
+    at one kv_tile (head dims large enough to overshoot even that do not
+    occur in this model family)."""
     d_pad = _round_up(d, LANE)
     tile_tmp = 6 * q_tile * kv_tile * 4
-    cols = ((_FUSED_BWD_VMEM_BUDGET - tile_tmp - 8 * q_tile * d_pad)
-            // (16 * d_pad))
+    cols = ((_FUSED_BWD_VMEM_BUDGET - fixed_extra - tile_tmp
+             - 8 * q_tile * d_pad) // (16 * d_pad))
     return max(kv_tile, cols // kv_tile * kv_tile)
 
 
@@ -1874,8 +1900,18 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     nc = k.shape[2]
     if n_valid is None:
         n_valid = n
+    rel_extra = 0
+    if rel is not None:
+        # Segment-size-independent VMEM residents of the relative mode, all
+        # O(Wfull ≈ 2L): the per-head rrow window (double-buffered), the
+        # [H, Wfull] dtable output (double-buffered), and the two extended
+        # scratch rows (accumulator + pre-rolled table; reps ≤ 2 whenever
+        # the kv extent ≤ the q extent, which segmentation guarantees).
+        wf = _round_up(rel.shape[1], LANE)
+        rel_extra = 4 * wf * (2 + 2 * h + 4)
     seg_cols = _fused_kv_seg_cols(d, min(q_tile, _round_up(n, 8)),
-                                  min(kv_tile, _round_up(nc, LANE)))
+                                  min(kv_tile, _round_up(nc, LANE)),
+                                  fixed_extra=rel_extra)
     if _round_up(nc, kv_tile) > seg_cols:
         return _bwd_fused_segmented(
             scale, q, k, v, freqs_cis, g, lse, delta, interpret, mm_dtype,
@@ -1895,8 +1931,13 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
             raise ValueError(
                 f"relative table covers L={rel_ell} tokens < sequence "
                 f"{n_valid}")
-        extra.append(rrow)
-        extra_shapes.append((h, rel_wfull))
+        extra.append(rrow[:, None])
+        # Per-head [H, 1, Wfull] window (same rationale as the streaming
+        # forward): the full [H, Wfull] row double-buffers to 2·H·Wfull·4
+        # bytes — 16.8 MB of the 100 MB scoped budget at N=262k — and the
+        # kernel only ever reads head hi (the scratch init).
+        extra_shapes.append(((1, 1, rel_wfull),
+                             lambda bi, hi, qi, ki: (hi, 0, 0)))
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
@@ -1918,7 +1959,9 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(sh, lambda bi, hi, qi, ki: (0, 0),
+    ] + [pl.BlockSpec(sh[0], sh[1], memory_space=pltpu.VMEM)
+         if isinstance(sh[0], tuple) else
+         pl.BlockSpec(sh, lambda bi, hi, qi, ki: (0, 0),
                       memory_space=pltpu.VMEM) for sh in extra_shapes]
     has_rope = freqs_cis is not None
     if has_rope:
