@@ -35,6 +35,13 @@ CONFIGS = {
     65537: dict(img_size=1024, batch=1),   # 256² patches + cls, one chip
     262145: dict(img_size=2048, batch=1),  # 512² patches + cls — the fused
     # backward sweeps kv in ~9 segments; the materialized bias would be 1.1 TB
+    1048577: dict(img_size=4096, batch=1, remat=True,
+                  compute_dtype="bfloat16"),  # 1024² patches + cls — one
+    # MILLION tokens on one chip (the bias would be ~17.6 TB materialized).
+    # Full remat + bf16 activations: unrematerialized f32 block residuals
+    # alone (~8.5 GB/block, MLP hidden dominating) exceed the 16 GB HBM,
+    # and every [*, 32]-minor attention operand pads 4× to the 128-lane
+    # tile (bf16 halves the bytes under the same 4×).
 }
 
 
@@ -49,7 +56,8 @@ def run(pe: str, n: int, steps: int, impl: str) -> dict:
     spec = CONFIGS[n]
     cfg = ViTConfig(img_size=spec["img_size"], patch_size=4, in_chans=3,
                     embed_dim=128, depth=2, num_heads=4, pos_encoding=pe,
-                    attention_impl=impl)
+                    attention_impl=impl, remat=spec.get("remat", False),
+                    compute_dtype=spec.get("compute_dtype", "float32"))
     assert cfg.seq_len == n, (cfg.seq_len, n)
     batch = spec["batch"]
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)

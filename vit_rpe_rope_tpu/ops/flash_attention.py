@@ -1643,7 +1643,7 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             0.0).astype(dtabr_ref.dtype)
 
 
-def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
                              *rest, dq_ref, dk_ref, dv_ref, dparam_ref=None,
                              acc_ref=None, rel_scr=None, scale, n_valid,
                              kv_tile, has_rope, mm_dtype, poly_grid=0,
@@ -1744,13 +1744,19 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     if chunk_valid is not None:
         kmask = kmask & (col_l < chunk_valid)
     s = jnp.where(kmask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0])
-    g = g_ref[0, 0].astype(jnp.float32)
+    # g / lse / delta arrive PACKED as one [Tq, D+2] window (lse at lane D,
+    # delta at lane D+1): the lanes were free anyway (D < 128 pads to the
+    # 128-lane tile), where separate [B, H, N, 1] lse/delta tensors pad
+    # 128× in HBM — 2 GB EACH at N=1M — and cost two more input DMAs.
+    d_head = q_ref.shape[3]
+    ge = ge_ref[0, 0].astype(jnp.float32)  # [Tq, D+2]
+    g = ge[:, :d_head]
+    p = jnp.exp(s - ge[:, d_head:d_head + 1])
     gv = jax.lax.dot_general(
         g.astype(mm_dtype), v_ref[0, 0].astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (gv - delta_ref[0, 0])
+    ds = p * (gv - ge[:, d_head + 1:d_head + 2])
 
     dv_c = jax.lax.dot_general(  # pᵀ g  [Tkv, D]
         p.astype(mm_dtype), g.astype(mm_dtype),
@@ -1945,10 +1951,15 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     nk = _round_up(nc, kv_tile)
     chunk_valid = nc if nc != nk else None
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
-    gp = _pad_seq(g, nq, 2)
-    lse_p = _pad_seq(lse, nq, 2)[..., None]
-    delta_p = _pad_seq(delta, nq, 2)[..., None]
-    inputs = [qp, kp, vp, gp, lse_p, delta_p]
+    # Pack g + lse + delta into ONE [B, H, nq, D+2] f32 tensor (lse at lane
+    # D, delta at D+1): the packed lanes ride g's padding-to-128 for free,
+    # where separate [B, H, nq, 1] tensors each pad 128× in HBM (2 GB at
+    # N=1M) and cost their own input windows + DMAs. f32 throughout — lse
+    # enters exp() and delta a cancellation-prone subtraction.
+    gext = jnp.concatenate(
+        [g.astype(jnp.float32), lse[..., None], delta[..., None]], axis=-1)
+    gp = _pad_seq(gext, nq, 2)
+    inputs = [qp, kp, vp, gp]
 
     imap_q = lambda bi, hi, qi, ki: (bi, hi, qi, 0)       # noqa: E731
     imap_kv = lambda bi, hi, qi, ki: (bi, hi, ki, 0)      # noqa: E731
@@ -1956,9 +1967,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, kv_tile, d), imap_kv, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, kv_tile, d), imap_kv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, q_tile, d), imap_q, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, q_tile, 1), imap_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_tile, d + 2), imap_q, memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(sh[0], sh[1], memory_space=pltpu.VMEM)
          if isinstance(sh[0], tuple) else
          pl.BlockSpec(sh, lambda bi, hi, qi, ki: (0, 0),
@@ -2031,7 +2040,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         in_specs.append(offs_spec)
 
     def entry(*refs):
-        n_in = 6 + n_extra_specs + rope_inputs + len(offs_inputs)
+        n_in = 4 + n_extra_specs + rope_inputs + len(offs_inputs)
         ins = refs[:n_in]
         outs = refs[n_in:n_in + len(out_shape)]
         scr = refs[n_in + len(out_shape):]
@@ -2044,9 +2053,9 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
 
     # Input order must match the kernel's *rest unpacking (and the spec
-    # list built above): 6 common, then extras (coeff / rrow), then the
-    # rope tables.
-    all_inputs = inputs[:6] + extra + inputs[6:] + offs_inputs
+    # list built above): 4 common (q, k, v, packed g+lse+delta), then
+    # extras (coeff / rrow), then the rope tables.
+    all_inputs = inputs[:4] + extra + inputs[4:] + offs_inputs
     call_kw = {}
     if not interpret:
         # The resident [N, D] out blocks + tile temporaries exceed the
