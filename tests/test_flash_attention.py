@@ -712,6 +712,42 @@ def test_fused_backward_kv_segmented_matches_unsegmented(mode, monkeypatch):
         np.testing.assert_allclose(got[4], want[4], rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("seg", [False, True])
+def test_fused_rel_multigroup_windows_match(seg, monkeypatch):
+    """The relative mode's windowed design (round 3): shrinking
+    _REL_WIN_BUDGET forces rel_qg < n_qt, so the pre-rolled row is sliced
+    into several per-q-group windows and the dtable gradient flushes to the
+    HBM output once per (b, h, group) via RMW DMA. Multi-group (and
+    multi-group WITHIN kv segments) must reproduce the single-window
+    result. Also exercises TRACED row0/col0 (the ring-chunk path), which
+    makes the driver's alignment roll a dynamic jnp.roll."""
+    b, h, n, d = 1, 2, 1100, 16
+    ks = jax.random.split(jax.random.PRNGKey(23), 5)
+    q, k, v, g = (jax.random.normal(ks[i], (b, h, n, d)) for i in range(4))
+    rel = 0.5 * jax.random.normal(ks[4], (h, 2 * n - 1))
+    scale = d ** -0.5
+    out, lse = fa._forward(q, k, v, scale, None, None, None, 0, rel,
+                           want_lse=True)
+    delta = jnp.sum(g * out, axis=-1)
+    args = (scale, q, k, v, None, g, lse, delta)
+    kw = dict(interpret=True, mm_dtype=jnp.float32, rel=rel,
+              row0=jnp.int32(0), col0=jnp.int32(0))
+    want = fa._bwd_streaming_fused(*args, **kw)
+    if seg:
+        # 3 ragged kv segments; inside each, budget 24576 -> rel_qg=3 of
+        # n_qt=5 -> 2 q-groups per segment call.
+        monkeypatch.setattr(fa, "_fused_kv_seg_cols",
+                            lambda d_, qt, kvt, fixed_extra=0: 512)
+        monkeypatch.setattr(fa, "_REL_WIN_BUDGET", 24576)
+    else:
+        # Unsegmented: budget 38912 -> rel_qg=2 -> 3 q-groups.
+        monkeypatch.setattr(fa, "_REL_WIN_BUDGET", 38912)
+    got = fa._bwd_streaming_fused(*args, **kw)
+    for a, b_ in zip(got[:3], want[:3]):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[4], want[4], rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("tq,wpad", [(1, 128), (5, 128), (8, 256),
                                      (13, 256), (128, 384), (256, 512)])
 def test_expand_shifts_matches_naive(tq, wpad):

@@ -597,6 +597,17 @@ def _rel_tile_scr(scr_ref, off, tq, tk):
     return _expand_shifts(m0, tq, wpad)[:, :tk]
 
 
+def _rel_tile_win(prw_ref, off, tq, tk):
+    """[Tq, Tk] relative-bias tile from a driver-pre-rolled [1, 1, W] window
+    input (the fused backward's per-q-group slice): identical math to
+    _rel_tile_scr, reading the input window instead of a kernel-initialized
+    scratch — no O(Wfull) work or residency anywhere in the kernel."""
+    wpad = _round_up(tq + tk - 1, LANE)
+    r = prw_ref[0, :, pl.ds(off, wpad)]
+    m0 = jnp.roll(r, -(tq - 1), axis=1)
+    return _expand_shifts(m0, tq, wpad)[:, :tk]
+
+
 def _rel_scatter_scr(acc_ref, off, dsz):
     """Transpose of _rel_tile_scr: fold the (zeroed-outside-valid) ds tile
     and accumulate the [1, wpad] window into the EXTENDED accumulator at
@@ -1645,9 +1656,9 @@ def _stream_bwd_dtable_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
                              *rest, dq_ref, dk_ref, dv_ref, dparam_ref=None,
-                             acc_ref=None, rel_scr=None, scale, n_valid,
-                             kv_tile, has_rope, mm_dtype, poly_grid=0,
-                             poly_degree=0, rel_ell=0, rel_wfull=0,
+                             acc_ref=None, rel_tmp=None, rel_sem=None,
+                             scale, n_valid, kv_tile, has_rope, mm_dtype,
+                             poly_grid=0, poly_degree=0, rel_win=0, rel_qg=0,
                              chunk_valid=None):
     """ONE-pass streaming backward (round-3): dq, dk, dv and the PE-parameter
     gradient from a single (b, h, q, kv) sweep — each tile's s/p/ds are
@@ -1667,14 +1678,26 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
     Handles none/fixed-rope/poly/rel regimes; dense-bias and learnable-
     frequency modes keep the separate passes (their extra outputs don't fit
     the residency budget).
+
+    Relative mode (round 3, windowed): the driver pre-rolls the reversed
+    table row to this call's alignment and pre-slices ONE window per group
+    of rel_qg q-tiles (prw_ref, [1, 1, rel_win] via the qi//rel_qg index
+    map), so the kernel's relative residents are O(rel_win) — independent
+    of both N and the table width. The dtable gradient accumulates in the
+    [1, rel_win] acc scratch per (b, h, q-group) and flushes into the
+    HBM-resident dparam output (zero-initialized via input/output aliasing)
+    with an explicit read-modify-write DMA at each group's last tile. The
+    previous design's O(Wfull ≈ 2N) VMEM residents (full pre-rolled row,
+    dtable out block, extended accumulator) capped the relative mode at
+    N ≈ 262k on a 128 MB-VMEM chip; windows make it N-unbounded.
     """
     idx = 0
     cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
-    coeff_ref = rrow_ref = offs_ref = None
+    coeff_ref = prw_ref = offs_ref = None
     if poly_grid:
         coeff_ref = rest[idx]; idx += 1
-    if rel_ell:
-        rrow_ref = rest[idx]; idx += 1
+    if rel_win:
+        prw_ref = rest[idx]; idx += 1
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[idx:idx + 4]
         idx += 4
@@ -1698,13 +1721,19 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
     def _():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
-        if acc_ref is not None:
+        if acc_ref is not None and not rel_win:
             acc_ref[...] = jnp.zeros_like(acc_ref)
-        if rel_scr is not None:
-            _rel_scr_init(rrow_ref, hi, rel_scr, row0, col0, n_qt,
-                          q_ref.shape[2], rel_ell, rel_wfull)
 
-    if dparam_ref is not None:
+    if rel_win and acc_ref is not None:
+        # The dtable accumulator covers ONE q-group's window; reset at each
+        # group's first tile (flushed to HBM at its last — see below).
+        @pl.when((ki == 0) & (qi % rel_qg == 0))
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if poly_grid and dparam_ref is not None:
+        # Poly's [H, LANE] dparam stays a VMEM-resident out block; rel's is
+        # HBM (ANY space), zero-initialized by the driver via aliasing.
         @pl.when(first & (pl.program_id(0) == 0) & (hi == 0))
         def _():
             dparam_ref[...] = jnp.zeros_like(dparam_ref)
@@ -1731,14 +1760,17 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
                                        tq, tk, poly_grid, poly_degree,
                                        n_valid, with_dist=True)
         s = s + bias
-    rel_off = None
-    if rel_ell:
-        # Per-head [1, Wfull] rrow window — scratch path mandatory (see
-        # _stream_kernel).
-        if rel_scr is None:
-            raise ValueError("relative mode requires the rel_scr scratch")
-        rel_off = _rel_tile_off(qi, ki, n_qt, tq, kv_tile)
-        s = s + _rel_tile_scr(rel_scr, rel_off, tq, tk)
+    rel_off = rel_base = None
+    if rel_win:
+        # This q-group's window base within the call's extended row; the
+        # tile's offset inside the window is the global scratch offset
+        # minus the base (bounded by rel_win by the driver's group sizing).
+        grp_end = jnp.minimum((qi // rel_qg + 1) * rel_qg, n_qt)
+        rel_base = (n_qt - grp_end) * tq
+        rel_off = _rel_tile_off(qi, ki, n_qt, tq, kv_tile) - rel_base
+        if tq % LANE == 0 and kv_tile % LANE == 0:
+            rel_off = pl.multiple_of(rel_off, LANE)
+        s = s + _rel_tile_win(prw_ref, rel_off, tq, tk)
     col_l = lk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     kmask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -1791,25 +1823,33 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
             row = row + jnp.where(lane == m, jnp.sum(dsz * pw), 0.0)
             pw = pw * dist
         acc_ref[...] += row
-    if rel_ell and dparam_ref is not None:
+    if rel_win and dparam_ref is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         dsz = jnp.where((rows < n_valid) & kmask, ds, 0.0)
         _rel_scatter_scr(acc_ref, rel_off, dsz)
+        # Group flush: read-modify-write this head's window of the HBM
+        # dparam row. Grid steps execute sequentially, so the RMW pairs
+        # never race; windows of different (b, h) at the same base
+        # accumulate through HBM.
+        @pl.when((ki == pl.num_programs(3) - 1)
+                 & ((qi % rel_qg == rel_qg - 1) | (qi == n_qt - 1)))
+        def _():
+            win = dparam_ref.at[pl.ds(hi, 1), pl.ds(rel_base, rel_win)]
+            pull = pltpu.make_async_copy(win, rel_tmp, rel_sem)
+            pull.start()
+            pull.wait()
+            rel_tmp[...] += acc_ref[...]
+            push = pltpu.make_async_copy(rel_tmp, win, rel_sem)
+            push.start()
+            push.wait()
 
-    if dparam_ref is not None:
+    if poly_grid and dparam_ref is not None:
         @pl.when(last)
         def _():
-            if rel_ell and rel_scr is not None:
-                # Collapse the extended accumulator to the [1, Wfull] dtabr
-                # row (fold periodic chunks + undo the scratch alignment).
-                row = _rel_scr_fold(acc_ref[...], row0, col0, n_qt, tq,
-                                    rel_ell, rel_wfull)
-            else:
-                row = acc_ref[...]
             sel = jax.lax.broadcasted_iota(
                 jnp.int32, dparam_ref.shape, 0) == hi
             dparam_ref[...] += jnp.where(
-                sel, jnp.broadcast_to(row, dparam_ref.shape),
+                sel, jnp.broadcast_to(acc_ref[...], dparam_ref.shape),
                 0.0).astype(dparam_ref.dtype)
 
 
@@ -1824,6 +1864,14 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
 # report shows those at ~5 MB total).
 _FUSED_BWD_VMEM_BUDGET = 64 * 1024 * 1024
 
+# VMEM reservation for the relative mode's windowed residents in the fused
+# backward: the pre-rolled row window (double-buffered input), the dtable
+# accumulator, and the RMW temp — 16 bytes per window entry. 8 MB buys a
+# ~500k-entry window: one q-group covers any N ≤ ~470k outright, and larger
+# N just adds q-groups (more HBM flushes, same VMEM) — the relative mode's
+# kernel residency is O(1) in N, like the other PE modes.
+_REL_WIN_BUDGET = 8 * 1024 * 1024
+
 
 def _fused_kv_seg_cols(d, q_tile, kv_tile, fixed_extra=0):
     """Largest kv extent (kv_tile multiple) whose fused-backward residency
@@ -1833,11 +1881,10 @@ def _fused_kv_seg_cols(d, q_tile, kv_tile, fixed_extra=0):
     full-extent f32[66048, 32] dk/dv window at 64.5 MB = cols × 128 lanes ×
     4 bytes × 2 buffers), so dk+dv cost 16·cols·d_pad bytes and the dq
     window 8·q_tile·d_pad. fixed_extra: bytes of segment-size-independent
-    residents (the relative mode's rrow window / dtable output / Toeplitz
-    scratches scale with Wfull ≈ 2N, not with the segment — at N=262,145
-    they total ~25 MB, which must come out of the dk/dv allowance). Floored
-    at one kv_tile (head dims large enough to overshoot even that do not
-    occur in this model family)."""
+    residents (the relative mode's _REL_WIN_BUDGET window reservation,
+    which comes out of the dk/dv allowance). Floored at one kv_tile (head
+    dims large enough to overshoot even that do not occur in this model
+    family)."""
     d_pad = _round_up(d, LANE)
     tile_tmp = 6 * q_tile * kv_tile * 4
     cols = ((_FUSED_BWD_VMEM_BUDGET - fixed_extra - tile_tmp
@@ -1906,25 +1953,18 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     nc = k.shape[2]
     if n_valid is None:
         n_valid = n
-    rel_extra = 0
-    if rel is not None:
-        # Segment-size-independent VMEM residents of the relative mode, all
-        # O(Wfull ≈ 2L): the per-head rrow window (double-buffered), the
-        # [H, Wfull] dtable output (double-buffered), and the two extended
-        # scratch rows (accumulator + pre-rolled table; reps ≤ 2 whenever
-        # the kv extent ≤ the q extent, which segmentation guarantees).
-        wf = _round_up(rel.shape[1], LANE)
-        rel_extra = 4 * wf * (2 + 2 * h + 4)
+    # The relative mode's VMEM residents are WINDOWS now (pre-rolled row
+    # slice + accumulator + RMW temp, 16 bytes per entry total) — a fixed
+    # reservation independent of N and of the table width.
     seg_cols = _fused_kv_seg_cols(d, min(q_tile, _round_up(n, 8)),
                                   min(kv_tile, _round_up(nc, LANE)),
-                                  fixed_extra=rel_extra)
+                                  fixed_extra=_REL_WIN_BUDGET
+                                  if rel is not None else 0)
     if _round_up(nc, kv_tile) > seg_cols:
         return _bwd_fused_segmented(
             scale, q, k, v, freqs_cis, g, lse, delta, interpret, mm_dtype,
             q_tile, kv_tile, poly, rel, n_valid, row0, col0, seg_cols)
     poly_grid = poly_degree = 0
-    rel_ell = rel_wfull = 0
-    rrow = None
     extra, extra_shapes = [], []
     if poly is not None:
         coeff_hk, poly_grid = poly
@@ -1937,19 +1977,44 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
             raise ValueError(
                 f"relative table covers L={rel_ell} tokens < sequence "
                 f"{n_valid}")
-        extra.append(rrow[:, None])
-        # Per-head [H, 1, Wfull] window (same rationale as the streaming
-        # forward): the full [H, Wfull] row double-buffers to 2·H·Wfull·4
-        # bytes — 16.8 MB of the 100 MB scoped budget at N=262k — and the
-        # kernel only ever reads head hi (the scratch init).
-        extra_shapes.append(((1, 1, rel_wfull),
-                             lambda bi, hi, qi, ki: (hi, 0, 0)))
 
     q_tile = min(q_tile, _round_up(n, 8))
     nq = _round_up(n, q_tile)
     kv_tile = min(kv_tile, _round_up(nc, LANE))
     nk = _round_up(nc, kv_tile)
     chunk_valid = nc if nc != nk else None
+    rel_win = rel_qg = 0
+    rel_a0 = rel_wext = None
+    if rel is not None:
+        # Pre-roll the reversed table row to this call's alignment (the
+        # in-kernel _rel_scr_init, hoisted to jnp where a dynamic roll is
+        # cheap HBM work) and pre-slice one window per group of rel_qg
+        # q-tiles: prw[h, g] = ext[h, base(g) : base(g)+W], base(g) =
+        # (n_qt − group_end(g))·q_tile — exactly the span of scratch
+        # offsets group g's tiles read. Window entries cost 16 bytes of
+        # VMEM each (double-buffered input + accumulator + RMW temp), so
+        # _REL_WIN_BUDGET bounds W; the q-group count absorbs any N.
+        n_qt, n_kt = nq // q_tile, nk // kv_tile
+        wpad = _round_up(q_tile + kv_tile - 1, LANE)
+        c_ext = (n_kt - 1) * kv_tile + wpad
+        rel_qg = max(1, min(n_qt, (_REL_WIN_BUDGET // 16 - c_ext) // q_tile))
+        rel_win = _round_up((rel_qg - 1) * q_tile + c_ext, LANE)
+        n_qg = -(-n_qt // rel_qg)
+        rel_a0 = _rel_scr_align(0 if row0 is None else row0,
+                                0 if col0 is None else col0,
+                                n_qt, q_tile, rel_ell, rel_wfull)
+        bases = [(n_qt - min((g + 1) * rel_qg, n_qt)) * q_tile
+                 for g in range(n_qg)]
+        rel_wext = _round_up(bases[0] + rel_win, LANE)
+        rolled = jnp.roll(rrow, -(rel_a0 % rel_wfull), axis=1)
+        reps = -(-rel_wext // rel_wfull)
+        ext = jnp.concatenate([rolled] * reps, axis=1)[:, :rel_wext] \
+            if reps > 1 else rolled[:, :rel_wext]
+        prw = jnp.stack([ext[:, b0:b0 + rel_win] for b0 in bases], axis=1)
+        extra.append(prw)
+        extra_shapes.append(((1, 1, rel_win),
+                             lambda bi, hi, qi, ki, rq=rel_qg:
+                             (hi, qi // rq, 0)))
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
     # Pack g + lse + delta into ONE [B, H, nq, D+2] f32 tensor (lse at lane
     # D, delta at D+1): the packed lanes ride g's padding-to-128 for free,
@@ -1995,7 +2060,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         _stream_bwd_fused_kernel, scale=scale, n_valid=n_valid,
         kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
         poly_grid=poly_grid, poly_degree=poly_degree,
-        rel_ell=rel_ell, rel_wfull=rel_wfull, chunk_valid=chunk_valid)
+        rel_win=rel_win, rel_qg=rel_qg, chunk_valid=chunk_valid)
 
     # dk/dv out blocks are the full per-(b, h) extent — resident across
     # the (q, kv) sweep, accumulated in place. dq's block is per q-tile:
@@ -2014,21 +2079,22 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                  jax.ShapeDtypeStruct((b, h, nk, d), jnp.float32)]
     scratch = []
     want_param = poly is not None or rel is not None
-    rel_reps = 0
-    if rel is not None:
-        rel_reps = _rel_scr_reps(rel_wfull, nq // q_tile, nk // kv_tile,
-                                 q_tile, kv_tile)
-    if want_param:
-        w = LANE if poly is not None else rel_wfull
+    if poly is not None:
         out_specs.append(pl.BlockSpec(
-            (h, w), lambda bi, hi, qi, ki: (0, 0),
+            (h, LANE), lambda bi, hi, qi, ki: (0, 0),
             memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((h, w), jnp.float32))
-        # rel's dtable accumulator is the EXTENDED row (folded at flush).
-        acc_w = rel_reps * rel_wfull if rel is not None else w
-        scratch.append(pltpu.VMEM((1, acc_w), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((h, LANE), jnp.float32))
+        scratch.append(pltpu.VMEM((1, LANE), jnp.float32))
     if rel is not None:
-        scratch.append(pltpu.VMEM((1, rel_reps * rel_wfull), jnp.float32))
+        # dtable accumulates in HBM (ANY space): the kernel RMW-DMAs one
+        # [1, rel_win] window per (b, h, q-group); zero-initialized via
+        # input/output aliasing of a zeros tensor appended as the LAST
+        # input below.
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((h, rel_wext), jnp.float32))
+        scratch.append(pltpu.VMEM((1, rel_win), jnp.float32))   # acc
+        scratch.append(pltpu.VMEM((1, rel_win), jnp.float32))   # RMW temp
+        scratch.append(pltpu.SemaphoreType.DMA)
 
     n_extra_specs = len(extra_shapes)
     rope_inputs = 4 if has_rope else 0
@@ -2039,9 +2105,11 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         offs_inputs = [offs]
         in_specs.append(offs_spec)
 
+    n_alias = 1 if rel is not None else 0
+
     def entry(*refs):
-        n_in = 4 + n_extra_specs + rope_inputs + len(offs_inputs)
-        ins = refs[:n_in]
+        n_in = 4 + n_extra_specs + rope_inputs + len(offs_inputs) + n_alias
+        ins = refs[:n_in - n_alias]  # the aliased zeros ref is write-only
         outs = refs[n_in:n_in + len(out_shape)]
         scr = refs[n_in + len(out_shape):]
         kw = {}
@@ -2049,14 +2117,20 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
             kw["dparam_ref"] = outs[3]
             kw["acc_ref"] = scr[0]
         if rel is not None:
-            kw["rel_scr"] = scr[-1]
+            kw["rel_tmp"] = scr[1]
+            kw["rel_sem"] = scr[2]
         kernel(*ins, dq_ref=outs[0], dk_ref=outs[1], dv_ref=outs[2], **kw)
 
     # Input order must match the kernel's *rest unpacking (and the spec
     # list built above): 4 common (q, k, v, packed g+lse+delta), then
-    # extras (coeff / rrow), then the rope tables.
+    # extras (coeff / prw), then the rope tables, the SMEM offsets, and
+    # (rel only) the aliased dtable zeros last.
     all_inputs = inputs[:4] + extra + inputs[4:] + offs_inputs
     call_kw = {}
+    if rel is not None:
+        all_inputs.append(jnp.zeros((h, rel_wext), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        call_kw["input_output_aliases"] = {len(all_inputs) - 1: 3}
     if not interpret:
         # The resident [N, D] out blocks + tile temporaries exceed the
         # compiler's default 16 MB scoped-vmem budget at long N; raise it
@@ -2080,7 +2154,17 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     if poly is not None:
         dcoeff = res[3][:, :poly_degree + 1]
     elif rel is not None:
-        dtable = res[3][:, ::-1][:, :rel.shape[1]]
+        # Adjoint of the extended-row construction: fold the Wext extent
+        # back modulo Wfull, undo the alignment roll, un-reverse.
+        dp = res[3]
+        reps = -(-rel_wext // rel_wfull)
+        if reps * rel_wfull > rel_wext:
+            dp = jnp.pad(dp, ((0, 0), (0, reps * rel_wfull - rel_wext)))
+        folded = dp[:, :rel_wfull]
+        for r in range(1, reps):
+            folded = folded + dp[:, r * rel_wfull:(r + 1) * rel_wfull]
+        row = jnp.roll(folded, rel_a0 % rel_wfull, axis=1)
+        dtable = row[:, ::-1][:, :rel.shape[1]]
     return dq, dk, dv, dcoeff, dtable
 
 
