@@ -35,6 +35,8 @@ CONFIGS = {
     65537: dict(img_size=1024, batch=1),   # 256² patches + cls, one chip
     262145: dict(img_size=2048, batch=1),  # 512² patches + cls — the fused
     # backward sweeps kv in ~9 segments; the materialized bias would be 1.1 TB
+    589825: dict(img_size=3072, batch=1, remat=True,
+                 compute_dtype="bfloat16"),   # 768² patches + cls
     1048577: dict(img_size=4096, batch=1, remat=True,
                   compute_dtype="bfloat16"),  # 1024² patches + cls — one
     # MILLION tokens on one chip (the bias would be ~17.6 TB materialized).
