@@ -26,6 +26,24 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Fail fast if the TPU tunnel is down (backend init otherwise hangs
+# indefinitely and the harness records nothing): bound the first device
+# query with an alarm and emit a diagnosable JSON line instead.
+if hasattr(__import__("signal"), "SIGALRM"):
+    import signal
+
+    def _backend_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip", "value": 0,
+            "unit": "img/s",
+            "error": "TPU backend init timed out (tunnel down?)"}))
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _backend_timeout)
+    signal.alarm(900)
+    jax.devices()
+    signal.alarm(0)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
