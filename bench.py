@@ -27,22 +27,24 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Fail fast if the TPU tunnel is down (backend init otherwise hangs
-# indefinitely and the harness records nothing): bound the first device
-# query with an alarm and emit a diagnosable JSON line instead.
-if hasattr(__import__("signal"), "SIGALRM"):
-    import signal
-
-    def _backend_timeout(signum, frame):
+# indefinitely and the harness records nothing). A SIGALRM handler can't
+# interrupt a hang inside native PJRT code (Python handlers only run
+# between bytecodes, and the native call may hold the GIL), so probe the
+# backend in a SUBPROCESS with a hard timeout and emit a diagnosable JSON
+# line if it never comes up.
+if os.environ.get("BENCH_SKIP_BACKEND_PROBE") != "1":
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=900, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
         print(json.dumps({
             "metric": "images_per_sec_per_chip", "value": 0,
             "unit": "img/s",
-            "error": "TPU backend init timed out (tunnel down?)"}))
-        os._exit(3)
-
-    signal.signal(signal.SIGALRM, _backend_timeout)
-    signal.alarm(900)
-    jax.devices()
-    signal.alarm(0)
+            "error": f"TPU backend init failed ({type(e).__name__}): "
+                     "tunnel down?"}))
+        sys.exit(3)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -4,7 +4,7 @@
 # then pushes the envelope to N=1M. One TPU job at a time; each stage
 # appends JSON lines to logs/r3_longseq.jsonl so partial progress
 # survives interruption.
-set -u
+set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=logs/r3_longseq.jsonl
 mkdir -p logs

@@ -586,26 +586,29 @@ def _rel_tile_off(qi, ki, n_qt, q_tile, kv_tile):
     return off
 
 
-def _rel_tile_scr(scr_ref, off, tq, tk):
-    """[Tq, Tk] relative-bias tile from the pre-rolled scratch: a [1, wpad]
-    window read + the O(Tq) doubling expansion — no O(Wfull) work. The
-    -(tq-1) seed roll wraps mod wpad by design: the expansion's row rolls
-    index the same wpad-periodic window (exactly _rel_tile's structure)."""
-    wpad = _round_up(tq + tk - 1, LANE)
-    r = scr_ref[:, pl.ds(off, wpad)]
+def _rel_row_to_tile(r, tq, tk, wpad):
+    """[1, wpad] aligned window -> [Tq, Tk] bias tile: the -(tq-1) seed
+    roll wraps mod wpad by design (the expansion's row rolls index the
+    same wpad-periodic window — exactly _rel_tile's structure), then the
+    O(Tq) doubling expansion."""
     m0 = jnp.roll(r, -(tq - 1), axis=1)
     return _expand_shifts(m0, tq, wpad)[:, :tk]
+
+
+def _rel_tile_scr(scr_ref, off, tq, tk):
+    """[Tq, Tk] relative-bias tile from the pre-rolled scratch: a [1, wpad]
+    window read + the O(Tq) doubling expansion — no O(Wfull) work."""
+    wpad = _round_up(tq + tk - 1, LANE)
+    return _rel_row_to_tile(scr_ref[:, pl.ds(off, wpad)], tq, tk, wpad)
 
 
 def _rel_tile_win(prw_ref, off, tq, tk):
     """[Tq, Tk] relative-bias tile from a driver-pre-rolled [1, 1, W] window
-    input (the fused backward's per-q-group slice): identical math to
-    _rel_tile_scr, reading the input window instead of a kernel-initialized
-    scratch — no O(Wfull) work or residency anywhere in the kernel."""
+    input (the fused backward's per-q-group slice): _rel_tile_scr reading
+    the input window instead of a kernel-initialized scratch — no O(Wfull)
+    work or residency anywhere in the kernel."""
     wpad = _round_up(tq + tk - 1, LANE)
-    r = prw_ref[0, :, pl.ds(off, wpad)]
-    m0 = jnp.roll(r, -(tq - 1), axis=1)
-    return _expand_shifts(m0, tq, wpad)[:, :tk]
+    return _rel_row_to_tile(prw_ref[0, :, pl.ds(off, wpad)], tq, tk, wpad)
 
 
 def _rel_scatter_scr(acc_ref, off, dsz):
