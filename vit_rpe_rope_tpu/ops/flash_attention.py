@@ -1914,7 +1914,12 @@ def _bwd_fused_segmented(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     base = 0 if col0 is None else col0
     nc = k.shape[2]
     dq = dcoeff = dtable = None
-    dks, dvs = [], []
+    # Segments write in place into preallocated dk/dv (donated across the
+    # unrolled updates) instead of list+concat: the concat kept every
+    # segment alive plus the output — 2× the O(N·D) gradient footprint,
+    # which matters at N=1M where dk/dv are 2.1 GB each.
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
     for s0 in range(0, nc, seg_cols):
         dq_s, dk_s, dv_s, dc_s, dt_s = _bwd_streaming_fused(
             scale, q, k[:, :, s0:s0 + seg_cols], v[:, :, s0:s0 + seg_cols],
@@ -1922,14 +1927,12 @@ def _bwd_fused_segmented(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
             q_tile=q_tile, kv_tile=kv_tile, poly=poly, rel=rel,
             n_valid=n_valid, row0=row0, col0=base + s0)
         dq = dq_s if dq is None else dq + dq_s
-        dks.append(dk_s)
-        dvs.append(dv_s)
+        dk = jax.lax.dynamic_update_slice_in_dim(dk, dk_s, s0, axis=2)
+        dv = jax.lax.dynamic_update_slice_in_dim(dv, dv_s, s0, axis=2)
         if dc_s is not None:
             dcoeff = dc_s if dcoeff is None else dcoeff + dc_s
         if dt_s is not None:
             dtable = dt_s if dtable is None else dtable + dt_s
-    dk = jnp.concatenate(dks, axis=2)
-    dv = jnp.concatenate(dvs, axis=2)
     if freqs_cis is not None:
         # Gradients w.r.t. the unrotated q/k: R(θ)ᵀ = R(−θ), i.e. rotate
         # with (cos, −sin) — the same inverse the unsegmented kernel applies
