@@ -1830,18 +1830,23 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         dsz = jnp.where((rows < n_valid) & kmask, ds, 0.0)
         _rel_scatter_scr(acc_ref, rel_off, dsz)
-        # Group flush: read-modify-write this head's window of the HBM
-        # dparam row. Grid steps execute sequentially, so the RMW pairs
-        # never race; windows of different (b, h) at the same base
-        # accumulate through HBM.
+        # Group flush: read-modify-write this head's window of the dparam
+        # row. Grid steps execute sequentially, so the RMW pairs never
+        # race; windows of different (b, h) at the same base accumulate
+        # through the out buffer. dparam is [H, 1, Wext] — the head dim
+        # must stay a LEADING (untiled) axis: ANY-space buffers small
+        # enough for Mosaic to place in VMEM get (sublane, lane) tiling on
+        # the last two dims, and a dynamic 1-row slice of a tiled sublane
+        # dim does not compile ("slice along dimension 0 must be aligned
+        # to tiling").
         @pl.when((ki == pl.num_programs(3) - 1)
                  & ((qi % rel_qg == rel_qg - 1) | (qi == n_qt - 1)))
         def _():
-            win = dparam_ref.at[pl.ds(hi, 1), pl.ds(rel_base, rel_win)]
+            win = dparam_ref.at[pl.ds(hi, 1), :, pl.ds(rel_base, rel_win)]
             pull = pltpu.make_async_copy(win, rel_tmp, rel_sem)
             pull.start()
             pull.wait()
-            rel_tmp[...] += acc_ref[...]
+            rel_tmp[0] += acc_ref[...]
             push = pltpu.make_async_copy(rel_tmp, win, rel_sem)
             push.start()
             push.wait()
@@ -2092,14 +2097,15 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         out_shape.append(jax.ShapeDtypeStruct((h, LANE), jnp.float32))
         scratch.append(pltpu.VMEM((1, LANE), jnp.float32))
     if rel is not None:
-        # dtable accumulates in HBM (ANY space): the kernel RMW-DMAs one
-        # [1, rel_win] window per (b, h, q-group); zero-initialized via
-        # input/output aliasing of a zeros tensor appended as the LAST
-        # input below.
+        # dtable accumulates out of kernel residency (ANY space): the
+        # kernel RMW-DMAs one [1, 1, rel_win] window per (b, h, q-group);
+        # zero-initialized via input/output aliasing of a zeros tensor
+        # appended as the LAST input below. Shape [H, 1, Wext]: the head
+        # dim must be a leading UNTILED axis — see the kernel's flush.
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((h, rel_wext), jnp.float32))
-        scratch.append(pltpu.VMEM((1, rel_win), jnp.float32))   # acc
-        scratch.append(pltpu.VMEM((1, rel_win), jnp.float32))   # RMW temp
+        out_shape.append(jax.ShapeDtypeStruct((h, 1, rel_wext), jnp.float32))
+        scratch.append(pltpu.VMEM((1, rel_win), jnp.float32))       # acc
+        scratch.append(pltpu.VMEM((1, 1, rel_win), jnp.float32))    # RMW tmp
         scratch.append(pltpu.SemaphoreType.DMA)
 
     n_extra_specs = len(extra_shapes)
@@ -2134,7 +2140,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     all_inputs = inputs[:4] + extra + inputs[4:] + offs_inputs
     call_kw = {}
     if rel is not None:
-        all_inputs.append(jnp.zeros((h, rel_wext), jnp.float32))
+        all_inputs.append(jnp.zeros((h, 1, rel_wext), jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         call_kw["input_output_aliases"] = {len(all_inputs) - 1: 3}
     if not interpret:
@@ -2162,7 +2168,7 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     elif rel is not None:
         # Adjoint of the extended-row construction: fold the Wext extent
         # back modulo Wfull, undo the alignment roll, un-reverse.
-        dp = res[3]
+        dp = res[3][:, 0]
         reps = -(-rel_wext // rel_wfull)
         if reps * rel_wfull > rel_wext:
             dp = jnp.pad(dp, ((0, 0), (0, reps * rel_wfull - rel_wext)))
