@@ -2022,10 +2022,14 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         ext = jnp.concatenate([rolled] * reps, axis=1)[:, :rel_wext] \
             if reps > 1 else rolled[:, :rel_wext]
         prw = jnp.stack([ext[:, b0:b0 + rel_win] for b0 in bases], axis=1)
-        extra.append(prw)
+        # Head and group ride ONE leading untiled axis ([H*G, 1, W]): with
+        # them separate ([H, G, W]), the (1, 1, W) block's second-to-last
+        # dim would be a size-1 slice of a G>1 axis — which Mosaic rejects
+        # (last two block dims must divide (8, 128) or equal the array's).
+        extra.append(prw.reshape(h * n_qg, 1, rel_win))
         extra_shapes.append(((1, 1, rel_win),
-                             lambda bi, hi, qi, ki, rq=rel_qg:
-                             (hi, qi // rq, 0)))
+                             lambda bi, hi, qi, ki, rq=rel_qg, ng=n_qg:
+                             (hi * ng + qi // rq, 0, 0)))
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
     # Pack g + lse + delta into ONE [B, H, nq, D+2] f32 tensor (lse at lane
     # D, delta at D+1): the packed lanes ride g's padding-to-128 for free,
