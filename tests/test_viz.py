@@ -155,8 +155,11 @@ def test_pe_similarity_cli_load_model(tmp_path):
     path, _ = _save_ckpt(tmp_path, "polynomial")
     cli.main(["--load_model", "--model_path", path, "--model_config",
               "polynomial", "--dpi", "50", "--output_dir", str(tmp_path)])
-    assert any(p.startswith("pe_similarity_compact_polynomial")
-               for p in os.listdir(tmp_path))
+    # Reference filename scheme: pe_similarity_compact_{stem}_{method}_{ts}
+    # (/root/reference/pe_similarity_visualizer.py:676).
+    assert any(
+        p.startswith("pe_similarity_compact_cifar10_polynomial_best_polynomial")
+        for p in os.listdir(tmp_path))
 
 
 def test_rope_visualizer_cli_default(tmp_path):
@@ -215,7 +218,9 @@ def test_pe_similarity_comparison_skips_bad_model(tmp_path, capsys):
               "--dpi", "50", "--output_dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "Skipping polynomial." in out
-    assert any(p.startswith("pe_similarity_comparison")
+    # Reference filename scheme: pe_model_comparison_{ts}
+    # (/root/reference/pe_similarity_visualizer.py:856).
+    assert any(p.startswith("pe_model_comparison")
                for p in os.listdir(tmp_path))
 
 

@@ -106,59 +106,116 @@ def _random_pe_model(method, args):
                               args.dim // args.num_heads, args.grid_size)
 
 
-def _save(fig, args, name):
+def _save(fig, args, stem):
     os.makedirs(args.output_dir, exist_ok=True)
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-    path = os.path.join(args.output_dir, f"pe_similarity_{name}_{ts}.png")
+    path = os.path.join(args.output_dir, f"{stem}_{ts}.png")
     fig.savefig(path, dpi=args.dpi, bbox_inches="tight")
     plt.close(fig)
     print(f"Saved visualization to {path}")
     return path
 
 
-def visualize_grid(sim, grid, method, args):
+def _model_theta(method, args):
+    """Reference single/compare-mode semantics: rope-axial is visualized
+    with theta 100.0 and rope-mixed with 10.0 regardless of --rope_theta
+    (/root/reference/pe_similarity_visualizer.py:514-524, 735-744)."""
+    if method == "rope-axial":
+        return 100.0
+    if method == "rope-mixed":
+        return 10.0
+    return args.rope_theta
+
+
+def _panel_block(ax, block, grid, cmap):
+    """Block-matrix heatmap panel with the reference's decorations: fixed
+    [-1, 1] range, white minor gridlines at block boundaries, major ticks
+    at block centers labeled 1..grid
+    (/root/reference/pe_similarity_visualizer.py:650-668, 800-815)."""
+    im = ax.imshow(block, cmap=cmap, vmin=-1, vmax=1)
+    ax.set_xticks(np.arange(-0.5, grid ** 2, grid), minor=True)
+    ax.set_yticks(np.arange(-0.5, grid ** 2, grid), minor=True)
+    ax.grid(which="minor", color="w", linestyle="-", linewidth=0.5)
+    ax.set_xticks(np.arange(grid // 2, grid ** 2, grid))
+    ax.set_yticks(np.arange(grid // 2, grid ** 2, grid))
+    ax.set_xticklabels(range(1, grid + 1))
+    ax.set_yticklabels(range(1, grid + 1))
+    return im
+
+
+def visualize_grid(sim, grid, method, args, model_name="random_init"):
     """Per-position grid of heatmaps: cell (i, j) shows how position (i, j)
-    relates to every other position."""
-    fig, axes = plt.subplots(grid, grid, figsize=(1.2 * grid, 1.2 * grid))
-    vmin, vmax = sim.min(), sim.max()
-    for i in range(grid):
-        for j in range(grid):
-            ax = axes[i, j] if grid > 1 else axes
-            ax.imshow(sim[i * grid + j].reshape(grid, grid), cmap=args.cmap,
-                      vmin=vmin, vmax=vmax)
-            ax.set_xticks([])
-            ax.set_yticks([])
-    fig.suptitle(f"{method} positional similarity (per position)", y=0.92)
-    return _save(fig, args, f"grid_{method}")
+    relates to every other position. Rendering details mirror the reference
+    (/root/reference/pe_similarity_visualizer.py:564-630): fixed [-1, 1]
+    color range, thin black cell borders, edge row/column labels, one
+    shared 'Cosine similarity' colorbar, and the reference title/axis
+    text/output filename."""
+    sim4 = sim.reshape(grid, grid, grid, grid)
+    fig, axes = plt.subplots(grid, grid, figsize=(2 * grid, 2 * grid),
+                             sharex=True, sharey=True)
+    axes = np.atleast_1d(axes).flatten()
+    for pos in range(grid * grid):
+        i, j = divmod(pos, grid)
+        ax = axes[pos]
+        im = ax.imshow(sim4[i, j], cmap=args.cmap, vmin=-1, vmax=1)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        for spine in ax.spines.values():
+            spine.set_visible(True)
+            spine.set_color("black")
+            spine.set_linewidth(0.5)
+        if j == 0:
+            ax.set_ylabel(f"{i + 1}", fontsize=8)
+        if i == grid - 1:
+            ax.set_xlabel(f"{j + 1}", fontsize=8)
+    cbar_ax = fig.add_axes([0.92, 0.15, 0.02, 0.7])
+    fig.colorbar(im, cax=cbar_ax).set_label("Cosine similarity")
+    fig.suptitle(f"{method.capitalize()} Position Embeddings - From model: "
+                 f"{model_name} ({grid}x{grid})", fontsize=16, y=0.98)
+    fig.subplots_adjust(wspace=0.1, hspace=0.1, right=0.9)
+    fig.text(0.5, 0.01, "Input patch column", ha="center", fontsize=12)
+    fig.text(0.01, 0.5, "Input patch row", va="center",
+             rotation="vertical", fontsize=12)
+    return _save(fig, args, f"pe_similarity_grid_{model_name}_{method}")
 
 
-def visualize_compact(sim, grid, method, args):
+def visualize_compact(sim, grid, method, args, model_name="random_init"):
+    """Compact block-matrix view, reference rendering
+    (/root/reference/pe_similarity_visualizer.py:636-680)."""
     block = similarity.block_matrix(sim, grid)
-    fig, ax = plt.subplots(figsize=(8, 8))
-    im = ax.imshow(block, cmap=args.cmap)
-    for g in range(grid, grid * grid, grid):  # block boundaries
-        ax.axhline(g - 0.5, color="w", lw=0.4)
-        ax.axvline(g - 0.5, color="w", lw=0.4)
-    ax.set_title(f"{method} positional similarity (compact)")
-    fig.colorbar(im, fraction=0.046)
-    return _save(fig, args, f"compact_{method}")
+    fig, ax = plt.subplots(figsize=(10, 8))
+    im = _panel_block(ax, block, grid, args.cmap)
+    ax.set_xlabel("Input patch column")
+    ax.set_ylabel("Input patch row")
+    fig.colorbar(im, ax=ax).set_label("Cosine similarity")
+    ax.set_title(f"{method.capitalize()} Position Embeddings\nFrom model: "
+                 f"{model_name} ({grid}x{grid})", fontsize=14)
+    return _save(fig, args, f"pe_similarity_compact_{model_name}_{method}")
 
 
 def visualize_comparison(models, names, args):
+    """Side-by-side block-matrix comparison, reference rendering
+    (/root/reference/pe_similarity_visualizer.py:795-855): per-panel block
+    gridlines + center ticks + '{name} ({g}x{g})' titles, first-panel
+    ylabel only, shared labeled colorbar, per-model rope theta defaults."""
     n = len(models)
-    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6))
-    if n == 1:
-        axes = [axes]
-    for ax, model, name in zip(axes, models, names):
+    fig, axes = plt.subplots(1, n, figsize=(5 * n, 5))
+    axes = np.atleast_1d(axes).flatten()
+    for i, (ax, model, name) in enumerate(zip(axes, models, names)):
         sim, grid = similarity.similarity_for(
             model, head_idx=args.rope_head_idx, num_heads=args.num_heads,
-            rope_theta=args.rope_theta)
-        ax.imshow(similarity.block_matrix(sim, grid), cmap=args.cmap)
-        ax.set_title(name)
-        ax.set_xticks([])
-        ax.set_yticks([])
-    fig.suptitle("Positional encoding similarity comparison", y=0.98)
-    return _save(fig, args, "comparison")
+            rope_theta=_model_theta(model.method, args))
+        im = _panel_block(ax, similarity.block_matrix(sim, grid), grid,
+                          args.cmap)
+        ax.set_title(f"{name} ({grid}x{grid})")
+        if i == 0:
+            ax.set_ylabel("Input patch row")
+    fig.text(0.5, 0.01, "Input patch column", ha="center")
+    cbar_ax = fig.add_axes([0.92, 0.15, 0.02, 0.7])
+    fig.colorbar(im, cax=cbar_ax).set_label("Cosine similarity")
+    plt.tight_layout(rect=[0, 0.03, 0.9, 0.95])
+    fig.suptitle("Positional Encoding Comparison", fontsize=16)
+    return _save(fig, args, "pe_model_comparison")
 
 
 def _load_models_tolerant(triples, args):
@@ -173,7 +230,7 @@ def _load_models_tolerant(triples, args):
         try:
             models.append(introspect.load_pe_model(
                 path, method, args.grid_size, args.num_heads,
-                args.rope_theta))
+                _model_theta(method, args)))
             names.append(name)
         except Exception as e:  # noqa: BLE001 — tool-level resilience
             print(f"Warning: could not load {path} as '{method}': {e}")
@@ -186,10 +243,13 @@ def main(argv=None):
 
     if args.compare_models and args.model_paths:
         configs = args.model_configs or [args.model_config] * len(args.model_paths)
-        display = (args.model_names
-                   if args.model_names
-                   and len(args.model_names) == len(args.model_paths)
-                   else configs)
+        # Reference naming (pe_similarity_visualizer.py:720-723): an explicit
+        # --model_names entry when present at that index, else the
+        # checkpoint's filename stem.
+        display = [args.model_names[i]
+                   if args.model_names and i < len(args.model_names)
+                   else os.path.splitext(os.path.basename(p))[0]
+                   for i, p in enumerate(args.model_paths)]
         models, names = _load_models_tolerant(
             list(zip(args.model_paths, configs, display)), args)
         if not models:
@@ -197,22 +257,31 @@ def main(argv=None):
         return visualize_comparison(models, names, args)
 
     if args.load_model and args.model_path:
+        # Reference single-model semantics (:501-524): titles/filenames use
+        # the checkpoint's filename stem, and rope modes pin their
+        # visualization theta (axial 100.0, mixed 10.0).
+        model_name = os.path.splitext(os.path.basename(args.model_path))[0]
+        theta = _model_theta(args.model_config, args)
+        if theta != args.rope_theta:
+            print(f"Using rope_theta={theta} for {model_name} "
+                  f"({args.model_config})")
         model = introspect.load_pe_model(
             args.model_path, args.model_config, args.grid_size,
-            args.num_heads, args.rope_theta)
+            args.num_heads, theta)
         sim, grid = similarity.similarity_for(
             model, head_idx=args.rope_head_idx, num_heads=args.num_heads,
-            rope_theta=args.rope_theta)
-        visualize_grid(sim, grid, model.method, args)
-        return visualize_compact(sim, grid, model.method, args)
+            rope_theta=theta)
+        visualize_grid(sim, grid, model.method, args, model_name)
+        return visualize_compact(sim, grid, model.method, args, model_name)
 
-    # Auto-discovery (reference behavior): trained CIFAR-10 checkpoints
-    # under ./checkpoints flip the tool into comparison mode.
+    # Auto-discovery (reference behavior, :874-893): trained CIFAR-10
+    # checkpoints under ./checkpoints flip the tool into comparison mode,
+    # displayed under their capitalized method names.
     found = introspect.discover_checkpoints("checkpoints", args.methods)
     if found:
         print(f"Auto-discovered checkpoints: {sorted(found)}")
         models, names = _load_models_tolerant(
-            [(p, m, m) for m, p in found.items()], args)
+            [(p, m, m.capitalize()) for m, p in found.items()], args)
         if models:
             return visualize_comparison(models, names, args)
         print("No discovered checkpoint could be loaded; falling back to "

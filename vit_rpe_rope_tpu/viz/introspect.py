@@ -53,8 +53,10 @@ def infer_embed_dim(state: dict) -> int | None:
 
 
 def grid_from_filename(path: str, default: int) -> int:
-    """Reference quirk: 'cifar10' in the checkpoint name forces grid 8."""
-    if "cifar10" in os.path.basename(path):
+    """Reference quirk: 'cifar10' in the checkpoint name forces grid 8
+    (case-insensitive — the reference matches on model_name.lower(),
+    /root/reference/pe_similarity_visualizer.py:507)."""
+    if "cifar10" in os.path.basename(path).lower():
         return 8
     return default
 
