@@ -35,6 +35,7 @@ forward-saved per-row logsumexp. Nothing larger than the caller's own
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -537,18 +538,9 @@ def _rel_ds_to_dtabr(ds, q_start, k_start, ell, wfull):
     return pltpu.roll(full, s_min % wfull, 1)
 
 
-def _rel_scr_reps(wfull, n_qt, n_kt, q_tile, kv_tile):
-    """Periodic-extension count for the pre-rolled scratch row: the tile at
-    (qi, ki) reads a wpad window at offset (n_qt-1-qi)·q_tile + ki·kv_tile,
-    so the scratch must cover the full offset span plus one window."""
-    wpad = _round_up(q_tile + kv_tile - 1, LANE)
-    span = (n_qt - 1) * q_tile + (n_kt - 1) * kv_tile + wpad
-    return -(-span // wfull)
-
-
 def _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull):
-    """Alignment index A of the pre-rolled scratch: scr[p] = rrow[(A + p)
-    mod wfull]. Chosen so the (qi, ki) tile's aligned window r (what
+    """Alignment index A of the pre-rolled extended row: ext[p] = rrow[(A +
+    p) mod wfull]. Chosen so the (qi, ki) tile's aligned window r (what
     _rel_tile computed with its per-tile full-width roll) sits at offset
     (n_qt-1-qi)·q_tile + ki·kv_tile: A = s_min(qi=n_qt-1, ki=0) = wfull -
     1 - base_ref - (q_tile-1). The expansion's mod-wpad row rolls only
@@ -559,25 +551,8 @@ def _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull):
             - (q_tile - 1))
 
 
-def _rel_scr_init(rrow_ref, hi, scr_ref, row0, col0, n_qt, q_tile, ell,
-                  wfull):
-    """Once per (b, h): roll this head's reversed table row to the scratch
-    alignment (ONE dynamic pltpu.roll) and tile it periodically across the
-    scratch. Moves ALL O(Wfull)-wide work out of the per-tile path — the
-    N=65,537 measurement showed the per-tile [H, Wfull] read + head select
-    + full-width dynamic roll (each O(N) for O(Tq·Tkv) tile work) scaling
-    the relative mode at ~O(N³): 2.79 s/step vs rope's 0.71 where the
-    N=16,385 ratio was 1.16×."""
-    del hi  # head selection happens in the BlockSpec ([1, 1, Wfull] window)
-    row = rrow_ref[0].astype(jnp.float32)  # [1, Wfull]
-    a = _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull)
-    rolled = pltpu.roll(row, (wfull - a % wfull) % wfull, 1)
-    for r in range(scr_ref.shape[1] // wfull):
-        scr_ref[:, r * wfull:(r + 1) * wfull] = rolled
-
-
 def _rel_tile_off(qi, ki, n_qt, q_tile, kv_tile):
-    """Scratch window offset of tile (qi, ki); lane-aligned whenever both
+    """Aligned-row window offset of tile (qi, ki); lane-aligned whenever both
     tile sizes are (the streaming defaults 256/512 — the hint lets Mosaic
     lower the dynamic lane slice as a block copy)."""
     off = (n_qt - 1 - qi) * q_tile + ki * kv_tile
@@ -595,28 +570,21 @@ def _rel_row_to_tile(r, tq, tk, wpad):
     return _expand_shifts(m0, tq, wpad)[:, :tk]
 
 
-def _rel_tile_scr(scr_ref, off, tq, tk):
-    """[Tq, Tk] relative-bias tile from the pre-rolled scratch: a [1, wpad]
-    window read + the O(Tq) doubling expansion — no O(Wfull) work."""
-    wpad = _round_up(tq + tk - 1, LANE)
-    return _rel_row_to_tile(scr_ref[:, pl.ds(off, wpad)], tq, tk, wpad)
-
-
 def _rel_tile_win(prw_ref, off, tq, tk):
     """[Tq, Tk] relative-bias tile from a driver-pre-rolled [1, 1, W] window
-    input (the fused backward's per-q-group slice): _rel_tile_scr reading
-    the input window instead of a kernel-initialized scratch — no O(Wfull)
-    work or residency anywhere in the kernel."""
+    input (the fused backward's per-q-group slice): a [1, wpad] window read
+    + the O(Tq) doubling expansion — no O(Wfull) work or residency anywhere
+    in the kernel."""
     wpad = _round_up(tq + tk - 1, LANE)
     return _rel_row_to_tile(prw_ref[0, :, pl.ds(off, wpad)], tq, tk, wpad)
 
 
 def _rel_scatter_scr(acc_ref, off, dsz):
-    """Transpose of _rel_tile_scr: fold the (zeroed-outside-valid) ds tile
+    """Transpose of _rel_tile_win: fold the (zeroed-outside-valid) ds tile
     and accumulate the [1, wpad] window into the EXTENDED accumulator at
-    the tile's offset; _rel_scr_fold collapses the extension once at the
-    end (the old per-tile path padded to Wfull and rolled — O(Wfull) per
-    tile)."""
+    the tile's offset; the driver collapses the extension and undoes the
+    alignment once at the end (the old per-tile path padded to Wfull and
+    rolled — O(Wfull) per tile)."""
     tq, tk = dsz.shape
     wpad = _round_up(tq + tk - 1, LANE)
     d = jnp.pad(dsz, ((0, 0), (0, wpad - tk)))
@@ -624,15 +592,61 @@ def _rel_scatter_scr(acc_ref, off, dsz):
     acc_ref[:, pl.ds(off, wpad)] += _fold_shifts(d, tq, wpad)
 
 
-def _rel_scr_fold(acc, row0, col0, n_qt, q_tile, ell, wfull):
-    """[1, reps·Wfull] extended accumulator -> [1, Wfull] dtabr row: fold
-    the periodic extension chunks and undo the scratch alignment (the
-    adjoint of _rel_scr_init's single roll)."""
-    folded = acc[:, :wfull]
-    for r in range(1, acc.shape[1] // wfull):
-        folded = folded + acc[:, r * wfull:(r + 1) * wfull]
+def _rel_fwd_frames(rel, n_qt, n_kt, q_tile, kv_tile, row0, col0, n_valid):
+    """Per-tile pre-framed relative windows for the streaming FORWARD.
+
+    Tile (qi, ki) reads the [1, wpad] aligned window at row offset
+    off = (n_qt-1-qi)·q_tile + ki·kv_tile — what the previous design served
+    from a kernel-initialized O(Wfull ≈ 2N) scratch (plus the full [1, Wfull]
+    row input), whose residency blew the 64 MB scoped-VMEM limit at N = 1M
+    (81.8 MB). Every off is a multiple of step = gcd(q_tile, kv_tile), so
+    framing the pre-rolled periodically-extended row at stride `step` and
+    width wpad hands each tile its window as ONE [1, 1, wpad] input block
+    via the diagonal index map j = (n_qt-1-qi)·(q_tile/step) + ki·(kv_tile/
+    step): kernel residency for the relative mode drops to O(wpad) = 3 KB,
+    O(1) in N. The frames cost (wpad/step)× the extended row in HBM
+    (~24N bytes/head at the 256/512 tile defaults) and are built with
+    wpad/step interleaved non-overlapping reshapes — no gather, no
+    per-window slice unroll. row0/col0 may be traced (CP ring chunks).
+
+    Returns (frames [H·n_win, 1, wpad] f32, index_map, wpad). Head × window
+    ride ONE leading untiled axis — a (1, 1, wpad) block of an [H, n_win,
+    wpad] array would slice a size->1 window from a tiled dim, which Mosaic
+    rejects."""
+    rrow, ell, wfull = _rel_prep(rel)
+    if n_valid > ell:
+        raise ValueError(
+            f"relative table covers L={ell} tokens < sequence {n_valid}")
+    h = rrow.shape[0]
+    wpad = _round_up(q_tile + kv_tile - 1, LANE)
+    step = math.gcd(q_tile, kv_tile)
+    if wpad % step:
+        # The frame construction needs the window width to be a whole
+        # number of strides; the streaming tile defaults (256/512 → step
+        # 256, wpad 768) and every LANE-multiple tile pair satisfy this.
+        raise ValueError(f"window {wpad} not a multiple of stride {step}")
+    r = wpad // step
     a = _rel_scr_align(row0, col0, n_qt, q_tile, ell, wfull)
-    return pltpu.roll(folded, a % wfull, 1)
+    rolled = jnp.roll(rrow, -(a % wfull), axis=1)
+    span = (n_qt - 1) * q_tile + (n_kt - 1) * kv_tile
+    n_win = span // step + 1
+    m = -(-n_win // r)               # frames per offset class
+    wext = step * (r - 1) + wpad * m
+    reps = -(-wext // wfull)
+    ext = (jnp.concatenate([rolled] * reps, axis=1)[:, :wext]
+           if reps > 1 else rolled[:, :wext])
+    # Frame j (start step·j, width wpad) = class o = j % r, slot t = j // r
+    # of the non-overlapping reshape starting at step·o.
+    ys = [ext[:, o * step:o * step + wpad * m].reshape(h, m, wpad)
+          for o in range(r)]
+    n_win_t = m * r
+    frames = jnp.stack(ys, axis=2).reshape(h * n_win_t, 1, wpad)
+    qs, ks = q_tile // step, kv_tile // step
+
+    def imap(bi, hi, qi, ki, nq_t=n_qt, nw=n_win_t, qs=qs, ks=ks):
+        return (hi * nw + (nq_t - 1 - qi) * qs + ki * ks, 0, 0)
+
+    return frames, imap, wpad
 
 
 def _rel_bias_cols(table_h, n_rows, start, width, row_start=0):
@@ -852,9 +866,8 @@ def _forward(q, k, v, scale, bias, freqs_cis, poly_coeff=None, poly_grid=0,
 
 def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                    scale, n_valid, kv_tile, has_bias, has_rope, mm_dtype,
-                   poly_grid=0, poly_degree=0, rel_ell=0, rel_wfull=0,
-                   lse_ref=None, offs_ref=None, chunk_valid=None,
-                   rel_scr=None):
+                   poly_grid=0, poly_degree=0, rel_wpad=0,
+                   lse_ref=None, offs_ref=None, chunk_valid=None):
     """offs_ref (SMEM [2] int32, optional): GLOBAL (row0, col0) offsets of
     this call's q rows / kv columns — the CP ring passes its shard row
     offset and rotating chunk column so bias generation and the n_valid
@@ -871,7 +884,7 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
     if poly_grid:
         coeff_ref = rest[idx]
         idx += 1
-    if rel_ell:
+    if rel_wpad:
         rrow_ref = rest[idx]
         idx += 1
     if has_rope:
@@ -890,14 +903,6 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
-
-    if rel_scr is not None:
-        hi = pl.program_id(1)
-
-        @pl.when((ki == 0) & (qi == 0))
-        def _():
-            _rel_scr_init(rrow_ref, hi, rel_scr, row0, col0,
-                          n_qt, q_ref.shape[2], rel_ell, rel_wfull)
 
     q = q_ref[0, 0].astype(jnp.float32)  # [Tq, D]
     k = k_ref[0, 0].astype(jnp.float32)  # [Tkv, D]
@@ -919,14 +924,13 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
                            row0 + qi * s.shape[0],
                            col0 + ki * kv_tile, s.shape[0], s.shape[1],
                            poly_grid, poly_degree, n_valid)
-    if rel_ell:
-        # rrow arrives as the PER-HEAD [1, Wfull] window (both drivers) —
-        # _rel_tile's head select would zero heads > 0 here, so the scratch
-        # path is mandatory.
-        if rel_scr is None:
-            raise ValueError("relative mode requires the rel_scr scratch")
-        off = _rel_tile_off(qi, ki, n_qt, s.shape[0], kv_tile)
-        s = s + _rel_tile_scr(rel_scr, off, s.shape[0], s.shape[1])
+    if rel_wpad:
+        # The driver pre-framed THIS tile's [1, wpad] aligned window
+        # (_rel_fwd_frames, diagonal index map) — the kernel only runs the
+        # O(Tq) doubling expansion on it. No O(N)-wide relative resident
+        # exists anywhere in the forward.
+        s = s + _rel_row_to_tile(rrow_ref[0], s.shape[0], s.shape[1],
+                                 rel_wpad)
     col_l = ki * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = col0 + col_l < n_valid
     if chunk_valid is not None:
@@ -1017,27 +1021,16 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         in_specs.append(
             pl.BlockSpec((h, LANE), lambda bi, hi, qi, ki: (0, 0),
                          memory_space=pltpu.VMEM))
-    rel_ell = rel_wfull = 0
+    rel_wpad = 0
     if rel is not None:
-        rrow, rel_ell, rel_wfull = _rel_prep(rel)
-        # The kernels WRAP out-of-range indices (the lse recompute CLAMPS):
-        # both are only exercised by padding, which carries zero ds — but a
-        # table narrower than the sequence would make valid positions
-        # disagree between the two. Reject it (ValueError, not assert: a
-        # `python -O` run must not silently wrap the Toeplitz window).
-        if n > rel_ell:
-            raise ValueError(
-                f"relative table covers L={rel_ell} tokens < sequence {n}")
-        inputs.append(rrow[:, None])
-        # Per-head window: the full [H, Wfull] row double-buffers to
-        # 2·H·Wfull·4 bytes (16.8 MB at N=262k), which alone blew the
-        # 16 MB scoped-vmem default; the kernel only ever reads head hi.
-        # Shipped [H, 1, Wfull] so the window's LAST TWO dims equal the
-        # array's (Mosaic's block rule) while the head dim stays blockable.
-        in_specs.append(
-            pl.BlockSpec((1, 1, rel_wfull),
-                         lambda bi, hi, qi, ki: (hi, 0, 0),
-                         memory_space=pltpu.VMEM))
+        # Per-TILE pre-framed windows (also validates table coverage with a
+        # ValueError — the kernel WRAPS out-of-range indices, the jnp lse
+        # twin CLAMPS; a short table must not silently diverge them).
+        frames, rel_imap, rel_wpad = _rel_fwd_frames(
+            rel, nq // q_tile, nk // kv_tile, q_tile, kv_tile, 0, 0, n)
+        inputs.append(frames)
+        in_specs.append(pl.BlockSpec((1, 1, rel_wpad), rel_imap,
+                                     memory_space=pltpu.VMEM))
     if has_rope:
         cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
         cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
@@ -1057,8 +1050,7 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
     kernel = functools.partial(
         _stream_kernel, scale=scale, n_valid=n, kv_tile=kv_tile,
         has_bias=has_bias, has_rope=has_rope, mm_dtype=mm_dtype,
-        poly_grid=poly_grid, poly_degree=poly_degree,
-        rel_ell=rel_ell, rel_wfull=rel_wfull)
+        poly_grid=poly_grid, poly_degree=poly_degree, rel_wpad=rel_wpad)
 
     out_specs = [pl.BlockSpec((1, 1, q_tile, d),
                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
@@ -1075,11 +1067,6 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         pltpu.VMEM((q_tile, 1), jnp.float32),
         pltpu.VMEM((q_tile, 1), jnp.float32),
     ]
-    if rel is not None:
-        reps = _rel_scr_reps(rel_wfull, nq // q_tile, nk // kv_tile,
-                             q_tile, kv_tile)
-        scratch_shapes.append(
-            pltpu.VMEM((1, reps * rel_wfull), jnp.float32))
 
     def kernel_entry(*refs):
         ins = refs[:len(inputs)]
@@ -1087,17 +1074,9 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         scr = refs[len(inputs) + len(out_shape):]
         acc_ref, m_ref, l_ref = scr[:3]
         kernel(*ins, out_ref=outs[0], acc_ref=acc_ref, m_ref=m_ref,
-               l_ref=l_ref, lse_ref=outs[1] if want_lse else None,
-               rel_scr=scr[3] if rel is not None else None)
+               l_ref=l_ref, lse_ref=outs[1] if want_lse else None)
 
     call_kw = {}
-    if rel is not None and not interpret:
-        # The relative mode's O(Wfull ≈ 2N) residents (per-head rrow window,
-        # pre-rolled periodic scratch) outgrow the compiler's default 16 MB
-        # scoped-vmem stack at N ≳ 200k (22.6 MB at N=262,145); raise the
-        # ceiling — the residents are O(N), far below physical VMEM.
-        call_kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
     res = pl.pallas_call(
         kernel_entry,
         grid=grid,
@@ -1126,16 +1105,25 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
 # chips (SURVEY.md §5.7; no reference counterpart).
 # ---------------------------------------------------------------------------
 
-def _smem_offs(row0, col0):
-    offs = jnp.stack([jnp.asarray(row0, jnp.int32),
-                      jnp.asarray(col0, jnp.int32)])
+def _smem_offs(row0, col0, valid=None):
+    """SMEM scalar vector [row0, col0(, valid)]: the global offsets of a
+    chunk/segment call, plus (optional, traced) the valid column count
+    within the call's kv extent — the segmented sweep's variable last
+    segment (static chunk_valid can't express a width that differs per
+    fori_loop iteration)."""
+    vals = [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+    if valid is not None:
+        vals.append(jnp.asarray(valid, jnp.int32))
     spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    return offs, spec
+    return jnp.stack(vals), spec
 
 
-def _chunk_extras(poly, rel, h, n_valid):
+def _chunk_extras(poly, rel, h, n_valid, n_qt, n_kt, q_tile, kv_tile,
+                  row0, col0):
     """(extra inputs, per-call specs, kernel kwargs) for the generated-bias
-    modes — no dense bias / rope here (the CP ring rotates q/k outside)."""
+    modes — no dense bias / rope here (the CP ring rotates q/k outside).
+    row0/col0 may be traced: the relative frames' alignment roll happens at
+    the jnp level (_rel_fwd_frames)."""
     extra, specs, kw = [], [], {}
     if poly is not None:
         coeff_hk, poly_grid = poly
@@ -1143,17 +1131,11 @@ def _chunk_extras(poly, rel, h, n_valid):
         extra.append(_pad_coeff(coeff_hk))
         specs.append((h, LANE))
     if rel is not None:
-        rrow, rel_ell, rel_wfull = _rel_prep(rel)
-        if n_valid > rel_ell:
-            raise ValueError(
-                f"relative table covers L={rel_ell} tokens < sequence "
-                f"{n_valid}")
-        kw.update(rel_ell=rel_ell, rel_wfull=rel_wfull)
-        extra.append(rrow[:, None])
-        # Per-head [H, 1, Wfull] window (see _forward_streaming_impl): the
-        # kernel only reads head hi, and [H, Wfull] double-buffers at
-        # O(H·N) VMEM.
-        specs.append(((1, 1, rel_wfull), lambda bi, hi, qi, ki: (hi, 0, 0)))
+        frames, imap, wpad = _rel_fwd_frames(
+            rel, n_qt, n_kt, q_tile, kv_tile, row0, col0, n_valid)
+        kw.update(rel_wpad=wpad)
+        extra.append(frames)
+        specs.append(((1, 1, wpad), imap))
     return extra, specs, kw
 
 
@@ -1178,7 +1160,9 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
     nk = _round_up(nc, kv_tile)
     qp, kp, vp = (_pad_seq(x, m, 2) for x, m in ((q, nq), (k, nk), (v, nk)))
     offs, offs_spec = _smem_offs(row0, col0)
-    extra, extra_shapes, kw = _chunk_extras(poly, rel, h, n_valid)
+    extra, extra_shapes, kw = _chunk_extras(poly, rel, h, n_valid,
+                                            nq // q_tile, nk // kv_tile,
+                                            q_tile, kv_tile, row0, col0)
 
     grid = (b, h, nq // q_tile, nk // kv_tile)
     in_specs = [
@@ -1204,11 +1188,6 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
         pltpu.VMEM((q_tile, 1), jnp.float32),
         pltpu.VMEM((q_tile, 1), jnp.float32),
     ]
-    if rel is not None:
-        reps = _rel_scr_reps(kw["rel_wfull"], nq // q_tile, nk // kv_tile,
-                             q_tile, kv_tile)
-        scratch_shapes.append(
-            pltpu.VMEM((1, reps * kw["rel_wfull"]), jnp.float32))
 
     def entry(*refs):
         n_in = 3 + len(extra)
@@ -1218,14 +1197,9 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
         scr = refs[n_in + 3:]
         acc, m_ref, l_ref = scr[:3]
         kernel(*ins, out_ref=out_ref, acc_ref=acc, m_ref=m_ref, l_ref=l_ref,
-               lse_ref=lse_ref, offs_ref=offs_ref,
-               rel_scr=scr[3] if rel is not None else None)
+               lse_ref=lse_ref, offs_ref=offs_ref)
 
     call_kw = {}
-    if rel is not None and not interpret:
-        # Same O(Wfull) residents as _forward_streaming_impl.
-        call_kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
     out, lse = pl.pallas_call(
         entry,
         grid=grid,
@@ -1662,7 +1636,7 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
                              acc_ref=None, rel_tmp=None, rel_sem=None,
                              scale, n_valid, kv_tile, has_rope, mm_dtype,
                              poly_grid=0, poly_degree=0, rel_win=0, rel_qg=0,
-                             chunk_valid=None):
+                             chunk_valid=None, traced_valid=False):
     """ONE-pass streaming backward (round-3): dq, dk, dv and the PE-parameter
     gradient from a single (b, h, q, kv) sweep — each tile's s/p/ds are
     computed ONCE and feed all four results, where the separate-pass design
@@ -1778,6 +1752,10 @@ def _stream_bwd_fused_kernel(q_ref, k_ref, v_ref, ge_ref,
     kmask = col0 + col_l < n_valid
     if chunk_valid is not None:
         kmask = kmask & (col_l < chunk_valid)
+    if traced_valid:
+        # Segmented sweep: valid width of THIS segment (the last one is
+        # narrower) arrives traced through the SMEM offsets vector.
+        kmask = kmask & (col_l < offs_ref[2])
     s = jnp.where(kmask, s, NEG_INF)
     # g / lse / delta arrive PACKED as one [Tq, D+2] window (lse at lane D,
     # delta at lane D+1): the lanes were free anyway (D < 128 pads to the
@@ -1908,48 +1886,87 @@ def _bwd_fused_segmented(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     kv extent in seg_cols-column segments — one fused-kernel call each at
     global column offsets, the same mechanism the CP ring's chunk backward
     uses. Each (q, kv) tile is still visited exactly once, so per-tile work
-    is unchanged; only dq/dparam partial sums and the dk/dv concat happen at
-    the jnp level (O(N·D) traffic). Fixed-frequency rope is applied OUTSIDE
-    the segment loop — rotate q/k once, inverse-rotate dq/dk once — because
-    the kernel's rotation tables are indexed from row 0 of the call's kv
-    extent, which would be wrong at a segment offset."""
+    is unchanged; only dq/dparam partial sums and the in-place dk/dv segment
+    writes happen at the jnp level (O(N·D) traffic).
+
+    The sweep is a lax.fori_loop, not a Python unroll: XLA's scheduler kept
+    every unrolled segment's FULL-EXTENT f32 dq partial (plus per-segment
+    temporaries) alive simultaneously — the N=589,825 compile report shows
+    ~20 live f32[1, 4, N, 32] buffers ≈ 23 GB padded, 1.7× the whole chip's
+    HBM. The loop carries one dq/dk/dv accumulator round-trip buffer each,
+    and compiles the kernel ONCE instead of per segment. The variable last
+    segment rides a traced valid-width (chunk_cols → SMEM) over kv padded
+    to a segment multiple.
+
+    dk/dv carry at the INPUT dtype: each column is written exactly once, so
+    a bf16 carry equals the f32 result's final cast — except (a) ring
+    chunks, whose partials are summed ACROSS shards and stay f32, and
+    (b) fixed-rope, whose dk is inverse-rotated after the loop (a bf16
+    carry would double-round; rope keeps f32 carries).
+
+    Fixed-frequency rope is applied OUTSIDE the segment loop — rotate q/k
+    once, inverse-rotate dq/dk once — because the kernel's rotation tables
+    are indexed from row 0 of the call's kv extent, which would be wrong at
+    a segment offset."""
+    ring = row0 is not None or col0 is not None
+    kv_dt = jnp.float32 if (ring or freqs_cis is not None) else k.dtype
     if freqs_cis is not None:
         cos, sin = freqs_cis
         q, k = reference_attention.rotate_qk_skip_cls(q, k, freqs_cis)
+        if mm_dtype != jnp.float32:
+            # The kernel multiplies at mm_dtype regardless; storing the
+            # rotated operands at mm_dtype halves two full-extent HBM
+            # buffers without changing any matmul input bit.
+            q, k = q.astype(mm_dtype), k.astype(mm_dtype)
     base = 0 if col0 is None else col0
     nc = k.shape[2]
-    dq = dcoeff = dtable = None
-    # Segments write in place into preallocated dk/dv (donated across the
-    # unrolled updates) instead of list+concat: the concat kept every
-    # segment alive plus the output — 2× the O(N·D) gradient footprint,
-    # which matters at N=1M where dk/dv are 2.1 GB each.
-    dk = jnp.zeros(k.shape, jnp.float32)
-    dv = jnp.zeros(v.shape, jnp.float32)
-    for s0 in range(0, nc, seg_cols):
+    nseg = -(-nc // seg_cols)
+    ncp = nseg * seg_cols
+    kp, vp = _pad_seq(k, ncp, 2), _pad_seq(v, ncp, 2)
+    has_poly, has_rel = poly is not None, rel is not None
+
+    def body(i, carry):
+        dq, dk, dv, dcoeff, dtable = carry
+        s0 = i * seg_cols
+        ks = jax.lax.dynamic_slice_in_dim(kp, s0, seg_cols, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(vp, s0, seg_cols, axis=2)
         dq_s, dk_s, dv_s, dc_s, dt_s = _bwd_streaming_fused(
-            scale, q, k[:, :, s0:s0 + seg_cols], v[:, :, s0:s0 + seg_cols],
-            None, g, lse, delta, interpret, mm_dtype=mm_dtype,
-            q_tile=q_tile, kv_tile=kv_tile, poly=poly, rel=rel,
-            n_valid=n_valid, row0=row0, col0=base + s0)
-        dq = dq_s if dq is None else dq + dq_s
-        dk = jax.lax.dynamic_update_slice_in_dim(dk, dk_s, s0, axis=2)
-        dv = jax.lax.dynamic_update_slice_in_dim(dv, dv_s, s0, axis=2)
-        if dc_s is not None:
-            dcoeff = dc_s if dcoeff is None else dcoeff + dc_s
-        if dt_s is not None:
-            dtable = dt_s if dtable is None else dtable + dt_s
+            scale, q, ks, vs, None, g, lse, delta, interpret,
+            mm_dtype=mm_dtype, q_tile=q_tile, kv_tile=kv_tile, poly=poly,
+            rel=rel, n_valid=n_valid, row0=row0, col0=base + s0,
+            chunk_cols=jnp.minimum(nc - s0, seg_cols))
+        dq = dq + dq_s
+        dk = jax.lax.dynamic_update_slice_in_dim(
+            dk, dk_s.astype(kv_dt), s0, axis=2)
+        dv = jax.lax.dynamic_update_slice_in_dim(
+            dv, dv_s.astype(kv_dt), s0, axis=2)
+        if has_poly:
+            dcoeff = dcoeff + dc_s
+        if has_rel:
+            dtable = dtable + dt_s
+        return dq, dk, dv, dcoeff, dtable
+
+    carry0 = (jnp.zeros(q.shape, jnp.float32),
+              jnp.zeros(kp.shape, kv_dt), jnp.zeros(vp.shape, kv_dt),
+              jnp.zeros(poly[0].shape, jnp.float32) if has_poly
+              else jnp.zeros((), jnp.float32),
+              jnp.zeros(rel.shape, jnp.float32) if has_rel
+              else jnp.zeros((), jnp.float32))
+    dq, dk, dv, dcoeff, dtable = jax.lax.fori_loop(0, nseg, body, carry0)
+    dk, dv = dk[:, :, :nc], dv[:, :, :nc]
     if freqs_cis is not None:
         # Gradients w.r.t. the unrotated q/k: R(θ)ᵀ = R(−θ), i.e. rotate
         # with (cos, −sin) — the same inverse the unsegmented kernel applies
         # per tile.
         dq, dk = reference_attention.rotate_qk_skip_cls(dq, dk, (cos, -sin))
-    return dq, dk, dv, dcoeff, dtable
+    return (dq, dk, dv, dcoeff if has_poly else None,
+            dtable if has_rel else None)
 
 
 def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                          mm_dtype=jnp.bfloat16, q_tile=256, kv_tile=KV_TILE,
                          poly=None, rel=None, n_valid=None, row0=None,
-                         col0=None):
+                         col0=None, chunk_cols=None):
     """Driver for _stream_bwd_fused_kernel. Returns (dq, dk, dv, dcoeff,
     dtable) — f32 grads cast by the caller. Pre-conditions (enforced by
     _bwd's dispatch): no dense bias, no learnable frequencies. VMEM is
@@ -2075,7 +2092,8 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
         _stream_bwd_fused_kernel, scale=scale, n_valid=n_valid,
         kv_tile=kv_tile, has_rope=has_rope, mm_dtype=mm_dtype,
         poly_grid=poly_grid, poly_degree=poly_degree,
-        rel_win=rel_win, rel_qg=rel_qg, chunk_valid=chunk_valid)
+        rel_win=rel_win, rel_qg=rel_qg, chunk_valid=chunk_valid,
+        traced_valid=chunk_cols is not None)
 
     # dk/dv out blocks are the full per-(b, h) extent — resident across
     # the (q, kv) sweep, accumulated in place. dq's block is per q-tile:
@@ -2115,9 +2133,10 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
     n_extra_specs = len(extra_shapes)
     rope_inputs = 4 if has_rope else 0
     offs_inputs = []
-    if row0 is not None or col0 is not None:
+    if row0 is not None or col0 is not None or chunk_cols is not None:
         offs, offs_spec = _smem_offs(0 if row0 is None else row0,
-                                     0 if col0 is None else col0)
+                                     0 if col0 is None else col0,
+                                     chunk_cols)
         offs_inputs = [offs]
         in_specs.append(offs_spec)
 
