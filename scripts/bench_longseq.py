@@ -47,7 +47,7 @@ CONFIGS = {
 }
 
 
-def run(pe: str, n: int, steps: int, impl: str) -> dict:
+def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None) -> dict:
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -58,8 +58,10 @@ def run(pe: str, n: int, steps: int, impl: str) -> dict:
     spec = CONFIGS[n]
     cfg = ViTConfig(img_size=spec["img_size"], patch_size=4, in_chans=3,
                     embed_dim=128, depth=2, num_heads=4, pos_encoding=pe,
-                    attention_impl=impl, remat=spec.get("remat", False),
-                    compute_dtype=spec.get("compute_dtype", "float32"))
+                    attention_impl=impl,
+                    remat=spec.get("remat", False) if remat is None else remat,
+                    compute_dtype=spec.get("compute_dtype", "float32")
+                    if dtype is None else dtype)
     assert cfg.seq_len == n, (cfg.seq_len, n)
     batch = spec["batch"]
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
@@ -107,10 +109,17 @@ def main():
                     default=["rope-axial", "polynomial", "relative"])
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--impl", default="flash")
+    ap.add_argument("--remat", type=int, default=None,
+                    help="override the config's remat (0/1)")
+    ap.add_argument("--dtype", default=None,
+                    help="override the config's compute_dtype")
     args = ap.parse_args()
     for n in args.n:
         for pe in args.pe:
-            print(json.dumps(run(pe, n, args.steps, args.impl)), flush=True)
+            print(json.dumps(run(pe, n, args.steps, args.impl,
+                                 remat=None if args.remat is None
+                                 else bool(args.remat),
+                                 dtype=args.dtype)), flush=True)
 
 
 if __name__ == "__main__":

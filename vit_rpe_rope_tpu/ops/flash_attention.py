@@ -680,14 +680,20 @@ def _pad_seq(x, n_pad, axis):
     return jnp.pad(x, widths)
 
 
-def _prep_freqs(freqs_cis, num_heads, n_pad, dtype):
+def _prep_freqs(freqs_cis, num_heads, n_pad, dtype, broadcast=True):
     """(cos, sin) [S, D/2] or [H, S, D/2] (S = N-1 patch tokens) →
     [H, Np, D/2] with an identity row for the cls token and identity rows in
-    the padding region."""
+    the padding region. broadcast=False keeps head-shared tables (rope-axial)
+    at H=1 — the streaming drivers' per-head BlockSpec windows never need
+    the H copies, and materializing them costs real HBM at long N (each
+    f32 [H, Np, 16] table pads its 16-lane minor 8× to the 128-lane tile:
+    4 tables × H=4 ≈ 8.6 GB at N=1M, the single largest constant of the
+    rope-mode step)."""
     cos, sin = freqs_cis
     if cos.ndim == 2:
-        cos = jnp.broadcast_to(cos[None], (num_heads,) + cos.shape)
-        sin = jnp.broadcast_to(sin[None], (num_heads,) + sin.shape)
+        reps = num_heads if broadcast else 1
+        cos = jnp.broadcast_to(cos[None], (reps,) + cos.shape)
+        sin = jnp.broadcast_to(sin[None], (reps,) + sin.shape)
     h, s, d2 = cos.shape
     pad_rows = n_pad - s - 1
     ones = jnp.ones((h, 1, d2), cos.dtype)
@@ -957,8 +963,10 @@ def _stream_kernel(q_ref, k_ref, v_ref, *rest, out_ref, acc_ref, m_ref, l_ref,
             # Per-row logsumexp, saved for the backward: eliminates the
             # whole jnp lse-recompute pass (which costs as much as the
             # attention forward) AND keeps the backward's p = exp(s - lse)
-            # consistent with the kernel's own bias conventions.
-            lse_ref[0, 0] = m_ref[...] + jnp.log(l_ref[...])
+            # consistent with the kernel's own bias conventions. The
+            # [Tq, 1] → [1, Tq] reshape lands the row on the output's LANE
+            # axis (see the driver's [B, H, 1, Nq] lse layout).
+            lse_ref[0, 0] = (m_ref[...] + jnp.log(l_ref[...])).reshape(1, -1)
 
 
 def _forward_streaming(q, k, v, scale, bias, freqs_cis, interpret,
@@ -1032,17 +1040,20 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
         in_specs.append(pl.BlockSpec((1, 1, rel_wpad), rel_imap,
                                      memory_space=pltpu.VMEM))
     if has_rope:
-        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
-        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32,
+                                   broadcast=False)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32,
+                                   broadcast=False)
+        hm = 1 if cos_q.shape[0] > 1 else 0  # head-shared tables ship H=1
         inputs.extend([cos_q, sin_q, cos_k, sin_k])
         in_specs.extend([
             pl.BlockSpec((1, q_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, qi, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(2)
         ] + [
             pl.BlockSpec((1, kv_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, ki, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(2)
         ])
@@ -1057,10 +1068,14 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, h, nq, d), q.dtype)]
     if want_lse:
-        out_specs.append(pl.BlockSpec((1, 1, q_tile, 1),
-                                      lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        # lse rides a [B, H, 1, Nq] layout — a [B, H, Nq, 1] output pads
+        # its size-1 minor 128× in HBM (2 GB at N=1M); with the row on the
+        # LANE axis only the size-1 sublane pads (8×, 134 MB). The block's
+        # second-to-last dim equals the array's (1), which Mosaic requires.
+        out_specs.append(pl.BlockSpec((1, 1, 1, q_tile),
+                                      lambda bi, hi, qi, ki: (bi, hi, 0, qi),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, 1, nq), jnp.float32))
 
     scratch_shapes = [
         pltpu.VMEM((q_tile, d), jnp.float32),
@@ -1089,7 +1104,7 @@ def _forward_streaming_impl(q, k, v, scale, bias, freqs_cis, interpret,
     )(*inputs)
     if want_lse:
         out, lse = res
-        return out[:, :, :n, :], lse[:, :, :n, 0]
+        return out[:, :, :n, :], lse[:, :, 0, :n]
     return res[:, :, :n, :]
 
 
@@ -1208,17 +1223,17 @@ def streaming_chunk_fwd(q, k, v, scale, row0, col0, n_valid, poly=None,
             pl.BlockSpec((1, 1, q_tile, d),
                          lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1),
-                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, 1, q_tile),
+                         lambda bi, hi, qi, ki: (bi, hi, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((b, h, 1, nq), jnp.float32)],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         **call_kw,
     )(qp, kp, vp, *extra, offs)
-    return out[:, :, :nl, :], lse[:, :, :nl, 0]
+    return out[:, :, :nl, :], lse[:, :, 0, :nl]
 
 
 def streaming_chunk_bwd(q, k, v, g, lse, delta, scale, row0, col0, n_valid,
@@ -2071,21 +2086,24 @@ def _bwd_streaming_fused(scale, q, k, v, freqs_cis, g, lse, delta, interpret,
                       memory_space=pltpu.VMEM) for sh in extra_shapes]
     has_rope = freqs_cis is not None
     if has_rope:
-        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
-        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32,
+                                   broadcast=False)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32,
+                                   broadcast=False)
+        hm = 1 if cos_q.shape[0] > 1 else 0
         inputs.extend([cos_q, sin_q, cos_k, sin_k])
         in_specs.extend([
             pl.BlockSpec((1, q_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, qi, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_tile, d // 2),
-                         lambda bi, hi, qi, ki: (hi, ki, 0),
+                         lambda bi, hi, qi, ki: (hi * hm, ki, 0),
                          memory_space=pltpu.VMEM),
         ])
     kernel = functools.partial(
@@ -2308,16 +2326,19 @@ def _bwd_streaming(scale, q, k, v, bias, freqs_cis, out, g, interpret,
             (h, rel_wfull), lambda bi, hi, ki, qi: (0, 0),
             memory_space=pltpu.VMEM))
     if has_rope:
-        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32)
-        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32)
+        cos_q, sin_q = _prep_freqs(freqs_cis, h, nq, jnp.float32,
+                                   broadcast=False)
+        cos_k, sin_k = _prep_freqs(freqs_cis, h, nk, jnp.float32,
+                                   broadcast=False)
+        hm = 1 if cos_q.shape[0] > 1 else 0
         extra.extend([cos_q, sin_q, cos_k, sin_k])
         for spec_list, order in ((extra_specs_q, "q"), (extra_specs_kv, "kv")):
             if order == "q":
-                qmap = lambda bi, hi, qi, ki: (hi, qi, 0)   # noqa: E731
-                kmap = lambda bi, hi, qi, ki: (hi, ki, 0)   # noqa: E731
+                qmap = lambda bi, hi, qi, ki: (hi * hm, qi, 0)   # noqa: E731
+                kmap = lambda bi, hi, qi, ki: (hi * hm, ki, 0)   # noqa: E731
             else:
-                qmap = lambda bi, hi, ki, qi: (hi, qi, 0)   # noqa: E731
-                kmap = lambda bi, hi, ki, qi: (hi, ki, 0)   # noqa: E731
+                qmap = lambda bi, hi, ki, qi: (hi * hm, qi, 0)   # noqa: E731
+                kmap = lambda bi, hi, ki, qi: (hi * hm, ki, 0)   # noqa: E731
             spec_list.extend([
                 pl.BlockSpec((1, q_tile, d // 2), qmap,
                              memory_space=pltpu.VMEM),
