@@ -35,15 +35,20 @@ CONFIGS = {
     65537: dict(img_size=1024, batch=1),   # 256² patches + cls, one chip
     262145: dict(img_size=2048, batch=1),  # 512² patches + cls — the fused
     # backward sweeps kv in ~9 segments; the materialized bias would be 1.1 TB
-    589825: dict(img_size=3072, batch=1, remat=True,
-                 compute_dtype="bfloat16"),   # 768² patches + cls
+    409601: dict(img_size=2560, batch=1,
+                 compute_dtype="bfloat16"),   # 640² patches + cls
+    589825: dict(img_size=3072, batch=1,
+                 compute_dtype="bfloat16"),   # 768² patches + cls. bf16
+    # WITHOUT remat: the H=1 freq tables + lane-major lse leave enough HBM,
+    # and remat's ~1.5× step-time cost (measured 15.95 vs 10.79 s/step at
+    # N=262k) pushes the step past the tunnel's ~60 s execute wall.
     1048577: dict(img_size=4096, batch=1, remat=True,
                   compute_dtype="bfloat16"),  # 1024² patches + cls — one
-    # MILLION tokens on one chip (the bias would be ~17.6 TB materialized).
-    # Full remat + bf16 activations: unrematerialized f32 block residuals
-    # alone (~8.5 GB/block, MLP hidden dominating) exceed the 16 GB HBM,
-    # and every [*, 32]-minor attention operand pads 4× to the 128-lane
-    # tile (bf16 halves the bytes under the same 4×).
+    # MILLION tokens. Memory-feasible with remat + bf16 (unrematerialized
+    # bf16 block residuals alone approach the 16 GB HBM), but the step
+    # (~150 s+) exceeds the axon tunnel's ~60 s execute wall — single-chip
+    # 1M is INFRA-bound here, not memory-bound; it is the CP ring's
+    # multi-chip territory (N/R per chip, one program per ring step).
 }
 
 
