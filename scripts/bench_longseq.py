@@ -52,7 +52,8 @@ CONFIGS = {
 }
 
 
-def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None) -> dict:
+def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
+        q_chunk: int = 0) -> dict:
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -64,12 +65,17 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None) -> dict:
     cfg = ViTConfig(img_size=spec["img_size"], patch_size=4, in_chans=3,
                     embed_dim=128, depth=2, num_heads=4, pos_encoding=pe,
                     attention_impl=impl,
-                    remat=spec.get("remat", False) if remat is None else remat,
+                    # The bounded driver schedules residency explicitly —
+                    # remat is a monolithic-program knob it never needs.
+                    remat=False if q_chunk else (
+                        spec.get("remat", False) if remat is None else remat),
                     compute_dtype=spec.get("compute_dtype", "float32")
                     if dtype is None else dtype)
     assert cfg.seq_len == n, (cfg.seq_len, n)
     batch = spec["batch"]
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
+    if q_chunk:
+        return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk)
     mesh = make_mesh(batch_size=batch, num_devices=1)
     rep = NamedSharding(mesh, P())
 
@@ -107,6 +113,49 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None) -> dict:
                 loss=round(float(np.asarray(m)[0]), 4))
 
 
+def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk):
+    """Bounded-program stepping (train/bounded.py): the same step as MANY
+    short programs — each attention program covers q_chunk query rows —
+    for environments with a per-program execution deadline (this machine's
+    tunnel kills any single program after ~60-70 s, which is the ONLY
+    blocker for poly/rel at N>=589k and every mode at N=1M)."""
+    from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
+    from vit_rpe_rope_tpu.models import vit
+    from vit_rpe_rope_tpu.train import train_step as ts
+    from vit_rpe_rope_tpu.train.bounded import make_bounded_step
+
+    batch = spec["batch"]
+    pre = ts.make_preprocess(cfg, *NORMALIZATION["cifar10"],
+                             spec["img_size"])
+    tx = ts.make_optimizer(tcfg, 2)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(
+        0, 256, (batch, spec["img_size"], spec["img_size"], 3),
+        dtype=np.uint8))
+    labels = jnp.asarray((np.arange(batch) % 10).astype(np.int32))
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    opt = tx.init(params)
+    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk)
+
+    t_c0 = time.perf_counter()
+    params, opt, m = step(params, opt, jnp.asarray([0], jnp.int32),
+                          imgs, labels)
+    m.block_until_ready()
+    compile_s = time.perf_counter() - t_c0
+    assert np.isfinite(np.asarray(m)[0]), f"non-finite loss {m}"
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt, m = step(params, opt, jnp.asarray([0], jnp.int32),
+                              imgs, labels)
+    m.block_until_ready()
+    dt = (time.perf_counter() - t0) / steps
+    return dict(pe=pe, n=n, impl="bounded", batch=batch,
+                q_chunk=q_chunk, n_programs_attn=step.n_chunks,
+                step_s=round(dt, 4), compile_s=round(compile_s, 1),
+                loss=round(float(np.asarray(m)[0]), 4))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, nargs="*", default=[16385])
@@ -118,13 +167,17 @@ def main():
                     help="override the config's remat (0/1)")
     ap.add_argument("--dtype", default=None,
                     help="override the config's compute_dtype")
+    ap.add_argument("--q_chunk", type=int, default=0,
+                    help="bounded-program stepping: query rows per "
+                         "attention program (0 = monolithic step)")
     args = ap.parse_args()
     for n in args.n:
         for pe in args.pe:
             print(json.dumps(run(pe, n, args.steps, args.impl,
                                  remat=None if args.remat is None
                                  else bool(args.remat),
-                                 dtype=args.dtype)), flush=True)
+                                 dtype=args.dtype,
+                                 q_chunk=args.q_chunk)), flush=True)
 
 
 if __name__ == "__main__":

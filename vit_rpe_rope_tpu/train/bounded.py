@@ -1,0 +1,306 @@
+"""Bounded-program train step: one optimizer step as MANY short programs.
+
+The monolithic train step (train_step.make_train_step) compiles the whole
+fwd+bwd+update into ONE XLA program. That is the right default — but a
+single program is also a single scheduling unit: it must run to completion
+inside whatever execution window the environment grants (a preemptible
+slice, a remote-dispatch tunnel with a per-program execution deadline, a
+profiler budget). At very long sequence lengths the attention term makes
+the step minutes long, and the monolithic program becomes un-runnable even
+though every individual piece of work is small.
+
+This driver re-expresses the SAME step (same math, same optimizer, same
+metrics as train_step._dp_step at accum=1, batch fully valid) as a host-
+orchestrated pipeline of independently jitted programs, each bounded:
+
+  embed -> [per block: pre -> attention per Q-CHUNK -> post] -> head/loss
+        <- backward in reverse, attention gradients again per q-chunk <-
+  -> optimizer update
+
+* The attention — the only O(N²) term — is split along query rows: each
+  q-chunk's program runs that chunk's rows against ALL keys through the
+  streaming Pallas kernels at a global row offset (ops/flash_attention.
+  streaming_chunk_fwd/_bwd — the exact primitives the CP ring composes
+  across chips, here composed across TIME on one chip). Program duration
+  scales with q_chunk·N instead of N².
+* Every per-token piece (LN/qkv/rotation, proj/MLP, embed, head) is O(N)
+  — already short — and runs as its own program.
+* The backward is hand-scheduled: per-piece jax.vjp with explicit
+  residuals (block inputs, attention outputs, logsumexp), recomputing the
+  cheap O(N) pre-projections instead of saving q/k/v. Residency is
+  therefore explicit and bounded: nothing holds more than a few [B, N, E]
+  buffers plus the f32 dk/dv accumulators — the N=1M rope step fits HBM
+  WITHOUT remat, where the monolithic program needs jax.checkpoint.
+
+Functionally this is gradient checkpointing + program slicing done by the
+host; numerically it matches the monolithic step (tests/test_bounded.py:
+same loss and same updated params to f32 tolerance in every PE mode).
+
+The reference has no counterpart (single-device torch eager,
+/root/reference/train.py:94-217); this is TPU-native infrastructure for
+the long-sequence regime the streaming kernels opened. Dropout/
+augmentation are not supported (same contract as the CP ring:
+parallel/context_parallel.apply_cp — the reference's effective regime is
+all rates 0, SURVEY.md Q11).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_rpe_rope_tpu import pe as pe_registry
+from vit_rpe_rope_tpu.configs import (
+    PE_KIND_EMBED_ADDITIVE,
+    PE_KIND_LOGITS_BIAS,
+    PE_KIND_QK_ROTATION,
+    TrainConfig,
+    ViTConfig,
+)
+from vit_rpe_rope_tpu.models.vit import (
+    BLOCK_PARAM_NAMES, _layer_norm, _linear, patch_embed)
+from vit_rpe_rope_tpu.ops.flash_attention import (
+    _pad_seq, _prep_freqs, _round_up, streaming_chunk_bwd,
+    streaming_chunk_fwd)
+from vit_rpe_rope_tpu.ops.rotary import rotate_half_split
+
+_ALIGN = 512  # kv-tile multiple: keeps every chunk/pad boundary tile-clean
+
+
+def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
+                      q_chunk: int = 131072, mm_dtype=jnp.bfloat16,
+                      interpret=None, debug_grads: bool = False):
+    """Build the bounded-program step.
+
+    Returns step(params, opt_state, step_vec, images_u8, labels) ->
+    (params, opt_state, metrics[loss, correct, count]) — the monolithic
+    driver's contract, minus the index-gather (the caller hands the batch
+    directly; there is no epoch index table to slice).
+
+    q_chunk: query rows per attention program (rounded up to 512). The
+    whole step issues ~depth·(2·ceil(N/q_chunk) + 4) + 5 programs; each
+    attention program does q_chunk·N_pad of the N² work.
+    mm_dtype: in-kernel matmul dtype (bf16 = production; f32 for parity
+    tests against the XLA oracle path).
+    debug_grads: also return the raw gradient dict as a 4th element
+    (parity tests compare it against jax.grad of the monolithic loss).
+    """
+    if cfg.has_dropout:
+        raise ValueError("bounded-program stepping does not support dropout "
+                         "(the reference's effective regime is all rates 0)")
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    n = cfg.seq_len
+    e, nh, dh = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    scale = dh ** -0.5
+    q_chunk = _round_up(q_chunk, _ALIGN)
+    n_pad = _round_up(n, _ALIGN)
+    starts = list(range(0, n_pad, q_chunk))
+    sizes = [min(q_chunk, n_pad - s) for s in starts]
+
+    kind = pe_mod.KIND
+    rope = kind == PE_KIND_QK_ROTATION
+    poly = kind == PE_KIND_LOGITS_BIAS and cfg.pos_encoding == "polynomial"
+    rel = kind == PE_KIND_LOGITS_BIAS and cfg.pos_encoding == "relative"
+    if kind == PE_KIND_LOGITS_BIAS and not (poly or rel):
+        raise ValueError(f"no streaming generator for PE "
+                         f"{cfg.pos_encoding!r}; use the monolithic step")
+
+    def _chunk_kw(aux):
+        if poly:
+            return dict(poly=(aux[0], cfg.grid_size))
+        if rel:
+            return dict(rel=aux[0])
+        return {}
+
+    # ---- pieces (each jitted once; shapes are static per piece) ----------
+
+    def _embed(params, images_u8):
+        """uint8 images -> padded tokens [B, n_pad, E] + PE aux tensors.
+        aux: (cos, sin) f32 for rotation PEs (head-shared tables stay H=1),
+        ([H, deg+1] coeffs,) / ([H, 2L-1] table,) for the generated-bias
+        modes, () otherwise. Differentiating through this piece routes the
+        accumulated aux cotangents back to the raw PE parameters."""
+        x = preprocess(images_u8)
+        x = patch_embed(params, x.astype(dtype), cfg)
+        bsz = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                               (bsz, 1, e))
+        x = jnp.concatenate([cls, x], axis=1)
+        if kind == PE_KIND_EMBED_ADDITIVE:
+            x = pe_mod.add_embedding(params, x)
+        x = _pad_seq(x, n_pad, axis=1)
+        if rope:
+            cos, sin = _prep_freqs(pe_mod.freqs_cis(params, cfg), nh, n_pad,
+                                   jnp.float32, broadcast=False)
+            return x, (cos, sin)
+        if poly:
+            return x, (pe_mod.coeff_per_head(params, cfg),)
+        if rel:
+            return x, (pe_mod.table_per_head(params, cfg),)
+        return x, ()
+
+    def _pre(bp, x, aux):
+        """x [B, n_pad, E] -> rotated q, k, v [B, H, n_pad, Dh]."""
+        h = _layer_norm(x, bp["norm1.weight"], bp["norm1.bias"], eps)
+        bsz = x.shape[0]
+        qkv = _linear(h, bp["attn.qkv.weight"])
+        qkv = qkv.reshape(bsz, n_pad, 3, nh, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if rope:
+            cos, sin = aux
+            q = rotate_half_split(q, cos[None], sin[None])
+            k = rotate_half_split(k, cos[None], sin[None])
+        return q, k, v
+
+    def _post(bp, x, o):
+        """Residual + proj + MLP: (block input x, attention out o) -> block
+        output. o [B, H, n_pad, Dh]."""
+        bsz = x.shape[0]
+        a = o.transpose(0, 2, 1, 3).reshape(bsz, n_pad, e)
+        x = x + _linear(a, bp["attn.proj.weight"], bp["attn.proj.bias"])
+        h = _layer_norm(x, bp["norm2.weight"], bp["norm2.bias"], eps)
+        h = _linear(h, bp["mlp.fc1.weight"], bp["mlp.fc1.bias"])
+        h = jax.nn.gelu(h, approximate=False)
+        h = _linear(h, bp["mlp.fc2.weight"], bp["mlp.fc2.bias"])
+        return x + h
+
+    def _head(hp, xcls, labels):
+        """Final LN on the cls row only (LN is per-token, the head reads
+        row 0 — same value as LN over all tokens then slicing) -> loss."""
+        xf = _layer_norm(xcls, hp["norm.weight"], hp["norm.bias"], eps)
+        logits = _linear(xf[:, 0], hp["head.weight"],
+                         hp["head.bias"]).astype(jnp.float32)
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels)
+        count = jnp.float32(labels.shape[0])
+        loss = jnp.sum(losses) / count
+        correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels)
+                          .astype(jnp.float32))
+        return loss, (correct, count)
+
+    jit = jax.jit
+    embed_f = jit(_embed)
+    embed_b = jit(lambda params, images_u8, dx, daux: jax.vjp(
+        _embed, params, images_u8)[1]((dx, daux))[0])
+    pre_f = jit(_pre)
+    pre_b = jit(lambda bp, x, aux, dqkv: jax.vjp(_pre, bp, x, aux)[1](dqkv))
+    post_b = jit(lambda bp, x, o, dy: jax.vjp(_post, bp, x, o)[1](dy))
+    post_f = jit(_post)
+    head_vg = jit(jax.value_and_grad(_head, argnums=(0, 1), has_aux=True))
+    scatter_cls = jit(lambda dxcls, bsz=None: jnp.zeros(
+        (dxcls.shape[0], n_pad, e), dxcls.dtype).at[:, :1].set(dxcls))
+    add_donate = jit(lambda a, b: a + b, donate_argnums=(0,))
+    tree_add = jit(functools.partial(jax.tree_util.tree_map, jnp.add))
+    upd_rows = jit(
+        lambda buf, part, r0: jax.lax.dynamic_update_slice_in_dim(
+            buf, part, r0, axis=2), donate_argnums=(0,), static_argnums=())
+    opt_upd = jit(lambda params, opt_state, grads: (
+        lambda u_o: (optax.apply_updates(params, u_o[0]), u_o[1]))(
+            tx.update(grads, opt_state, params)), donate_argnums=(0, 1))
+
+    att_f = {}   # per chunk-size compiled attention programs
+    att_b = {}
+    for sz in set(sizes):
+        def _afwd(q, k, v, aux, r0, _sz=sz):
+            qi = jax.lax.dynamic_slice_in_dim(q, r0, _sz, axis=2)
+            return streaming_chunk_fwd(qi, k, v, scale, r0, 0, n,
+                                       interpret=interpret,
+                                       mm_dtype=mm_dtype, **_chunk_kw(aux))
+
+        def _abwd(q, k, v, g, o, lse, aux, r0, _sz=sz):
+            qi = jax.lax.dynamic_slice_in_dim(q, r0, _sz, axis=2)
+            gi = jax.lax.dynamic_slice_in_dim(g, r0, _sz, axis=2)
+            oi = jax.lax.dynamic_slice_in_dim(o, r0, _sz, axis=2)
+            li = jax.lax.dynamic_slice_in_dim(lse, r0, _sz, axis=2)
+            delta = jnp.sum(gi.astype(jnp.float32) * oi.astype(jnp.float32),
+                            axis=-1)
+            return streaming_chunk_bwd(qi, k, v, gi, li[:, :, :, 0], delta,
+                                       scale, r0, 0, n,
+                                       interpret=interpret,
+                                       mm_dtype=mm_dtype, **_chunk_kw(aux))
+
+        att_f[sz] = jit(_afwd)
+        att_b[sz] = jit(_abwd)
+
+    hp_names = ("norm.weight", "norm.bias", "head.weight", "head.bias")
+
+    def step(params, opt_state, step_vec, images_u8, labels):
+        del step_vec  # LR schedule lives in opt_state (optax count)
+        bsz = labels.shape[0]
+
+        # ---------------- forward ----------------
+        x, aux = embed_f(params, images_u8)
+        xs, os_, lses = [x], [], []
+        for i in range(cfg.depth):
+            bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
+            q, k, v = pre_f(bp, x, aux)
+            o = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
+            lse = jnp.zeros((bsz, nh, n_pad, 1), jnp.float32)
+            for r0, sz in zip(starts, sizes):
+                o_c, lse_c = att_f[sz](q, k, v, aux, r0)
+                o = upd_rows(o, o_c, r0)
+                lse = upd_rows(lse, lse_c[..., None], r0)
+            del q, k, v
+            x = post_f(bp, x, o)
+            xs.append(x)
+            os_.append(o)
+            lses.append(lse)
+
+        hp = {nm: params[nm] for nm in hp_names}
+        ((loss, (correct, count)), (dhp, dxcls)) = head_vg(
+            hp, xs[-1][:, :1], labels)
+
+        # ---------------- backward ----------------
+        grads = dict(dhp)
+        dx = scatter_cls(dxcls)
+        daux = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), aux)
+        for i in reversed(range(cfg.depth)):
+            bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
+            x_in, o, lse = xs[i], os_[i], lses[i]
+            dbp_post, dx_a, do = post_b(bp, x_in, o, dx)
+            q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
+            dq = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+            dk = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+            dv = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+            dparam = None
+            for r0, sz in zip(starts, sizes):
+                dq_c, dk_c, dv_c, dp_c = att_b[sz](q, k, v, do, o, lse,
+                                                   aux, r0)
+                dq = upd_rows(dq, dq_c, r0)
+                dk = add_donate(dk, dk_c)
+                dv = add_donate(dv, dv_c)
+                if dp_c is not None:
+                    dparam = dp_c if dparam is None else add_donate(dparam,
+                                                                    dp_c)
+            del do
+            dbp_pre, dx_b, da = pre_b(
+                bp, x_in, aux,
+                (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)))
+            del q, k, v, dq, dk, dv
+            dx = add_donate(dx_a, dx_b)
+            daux = tree_add(daux, da)
+            if dparam is not None:  # in-kernel dcoeff/dtable partials
+                daux = (add_donate(daux[0], dparam.astype(daux[0].dtype)),)
+            dbp = tree_add(dbp_post, dbp_pre)
+            for nm in BLOCK_PARAM_NAMES:
+                grads[f"blocks.{i}.{nm}"] = dbp[nm]
+
+        dparams_embed = embed_b(params, images_u8, dx, daux)
+        for key, g in dparams_embed.items():
+            grads[key] = tree_add(grads[key], g) if key in grads else g
+
+        new_params, opt_state = opt_upd(params, opt_state, grads)
+        metrics = jnp.stack([loss, correct, count])
+        if debug_grads:
+            return new_params, opt_state, metrics, grads
+        return new_params, opt_state, metrics
+
+    step.n_chunks = len(starts)
+    step.n_pad = n_pad
+    return step
