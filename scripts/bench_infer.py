@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--int8", action="store_true",
-                    help="W8A8 quantized path (quant.py)")
+                    help="quantized path (quant.py; see --int8_mode)")
+    ap.add_argument("--int8_mode", default="w8a8",
+                    choices=["w8a8", "w8a16"],
+                    help="w8a8: int8 MXU; w8a16: weight-only int8 -> bf16")
     ap.add_argument("--batch", type=int, default=0, help="0 = config default")
     ap.add_argument("--steps", type=int, default=60)
     args = ap.parse_args()
@@ -55,9 +58,10 @@ def main():
         batch, native, name = args.batch or 128, 32, "ViT-tiny/4 @32"
 
     mean, std = NORMALIZATION["cifar10"]
+    int8 = args.int8_mode if args.int8 else False
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     pred = serving.Predictor.from_params(params, cfg, mean, std, native,
-                                         int8=args.int8)
+                                         int8=int8)
 
     rng = np.random.default_rng(0)
     # A few distinct device-resident batches so chained dispatches don't
@@ -73,7 +77,7 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
     ips = batch * args.steps / dt
-    kind = "int8" if args.int8 else args.dtype
+    kind = int8 if int8 else args.dtype
     print(json.dumps({
         "metric": f"{name} {kind} serving images/sec/chip "
                   f"(uint8 in -> logits, bs{batch})",

@@ -27,21 +27,23 @@ def test_quantize_tensor_error_bound():
     assert (err <= np.asarray(scale)[:, None] / 2 + 1e-7).all()
 
 
-def test_q8_linear_close_to_fp32():
+@pytest.mark.parametrize("linear", [quant.q8_linear, quant.q8_linear_wo])
+def test_q8_linear_close_to_fp32(linear):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(0, 1.0, (4, 7, 64)), jnp.float32)
     w = jnp.asarray(rng.normal(0, 0.1, (32, 64)), jnp.float32)
     b = jnp.asarray(rng.normal(0, 0.1, (32,)), jnp.float32)
     w_q, scale = quant.quantize_tensor(w)
-    got = np.asarray(quant.q8_linear(x, w_q, scale, b))
+    got = np.asarray(linear(x, w_q, scale, b))
     want = np.asarray(x @ w.T + b)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.02, rel
 
 
+@pytest.mark.parametrize("mode", ["w8a8", "w8a16"])
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
-def test_apply_q8_matches_fp32_forward(pe):
+def test_apply_q8_matches_fp32_forward(pe, mode):
     cfg = ViTConfig(**TINY, pos_encoding=pe)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     qparams = quant.quantize_params(params, cfg)
@@ -53,9 +55,18 @@ def test_apply_q8_matches_fp32_forward(pe):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(0, 1.0, (8, 8, 8, 1)), jnp.float32)
     want = np.asarray(vit.apply(params, x, cfg))
-    got = np.asarray(quant.apply_q8(qparams, x, cfg))
+    got = np.asarray(quant.apply_q8(qparams, x, cfg, mode=mode))
     rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
-    assert rel < 0.05, (pe, rel)
+    # w8a16 runs bf16 activations on top of the int8 weight grid.
+    assert rel < (0.08 if mode == "w8a16" else 0.05), (pe, mode, rel)
+
+
+def test_apply_q8_rejects_unknown_mode():
+    cfg = ViTConfig(**TINY, pos_encoding="none")
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_params(params, cfg)
+    with pytest.raises(ValueError, match="unknown int8 mode"):
+        quant.apply_q8(qparams, jnp.zeros((1, 8, 8, 1)), cfg, mode="w4a4")
 
 
 def test_int8_predictor_and_artifact(tmp_path):

@@ -57,8 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "this many devices ('data' axis); replay requires "
                         "the same device count (serving.export_model mesh=)")
     p.add_argument("--int8", action="store_true",
-                   help="post-training W8A8 quantization: int8 MXU matmuls "
-                        "with dynamic per-token activation scales (quant.py)")
+                   help="post-training int8 quantization (quant.py); mode "
+                        "per --int8_mode")
+    p.add_argument("--int8_mode", type=str, default="w8a8",
+                   choices=["w8a8", "w8a16"],
+                   help="w8a8: int8 MXU matmuls with dynamic per-token "
+                        "activation scales; w8a16: weight-only — int8 "
+                        "weights dequantized into bf16 matmuls (wins in "
+                        "the weight-bound small-batch/latency regime)")
     return p
 
 
@@ -79,6 +85,7 @@ def main(argv=None):
 
     from vit_rpe_rope_tpu import serving
 
+    int8 = args.int8_mode if args.int8 else False
     if args.artifact is not None:
         predictor = serving.Predictor.from_artifact(args.artifact)
         print(f"Loaded artifact {args.artifact} "
@@ -89,14 +96,14 @@ def main(argv=None):
             args.checkpoint, dataset=args.dataset, num_heads=args.num_heads,
             grid_size=args.grid_size,
             rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
-            int8=args.int8)
+            int8=int8)
         print(f"{args.checkpoint}: {cfg.pos_encoding} ViT d{cfg.embed_dim} "
               f"depth {cfg.depth} heads {cfg.num_heads} patch "
               f"{cfg.patch_size} @ {cfg.img_size}px ({dataset} contract)")
         predictor = None
         if args.input:
             predictor = serving.Predictor.from_params(
-                params, cfg, mean, std, native, int8=args.int8)
+                params, cfg, mean, std, native, int8=int8)
         if args.export:
             mesh = None
             if args.export_data_parallel > 1:
@@ -108,7 +115,7 @@ def main(argv=None):
                         f"--export_data_parallel {args.export_data_parallel}"
                         f": only {mesh.devices.size} devices visible")
             exported = serving.export_model(params, cfg, mean, std, native,
-                                            int8=args.int8, mesh=mesh)
+                                            int8=int8, mesh=mesh)
             path = serving.save_artifact(args.export, exported)
             import os
 

@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_size", type=int, default=None)
     p.add_argument("--rope_mixed_compat_scramble", action="store_true")
     p.add_argument("--int8", action="store_true",
-                   help="serve the W8A8 quantized path (quant.py)")
+                   help="serve the int8 quantized path (quant.py)")
+    p.add_argument("--int8_mode", type=str, default="w8a8",
+                   choices=["w8a8", "w8a16"],
+                   help="w8a8: int8 MXU matmuls; w8a16: weight-only "
+                        "(bf16 matmuls over dequantized int8 weights)")
     p.add_argument("--max_batch", type=int, default=1024,
                    help="reject request batches larger than this")
     return p
@@ -162,6 +166,7 @@ def main(argv=None, serve_forever: bool = True):
 
     from vit_rpe_rope_tpu import serving
 
+    int8 = args.int8_mode if args.int8 else False
     if args.artifact is not None:
         predictor = serving.Predictor.from_artifact(args.artifact)
         desc = f"artifact {args.artifact}"
@@ -170,11 +175,11 @@ def main(argv=None, serve_forever: bool = True):
             args.checkpoint, dataset=args.dataset, num_heads=args.num_heads,
             grid_size=args.grid_size,
             rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
-            int8=args.int8)
+            int8=int8)
         predictor = serving.Predictor.from_params(params, cfg, mean, std,
-                                                  native, int8=args.int8)
+                                                  native, int8=int8)
         desc = (f"{args.checkpoint} ({cfg.pos_encoding}, {dataset} contract"
-                + (", int8" if args.int8 else "") + ")")
+                + (f", int8 {int8}" if int8 else "") + ")")
 
     server = make_server(predictor, args.host, args.port, args.max_batch)
     print(f"Serving {desc} on http://{args.host}:{server.server_address[1]} "

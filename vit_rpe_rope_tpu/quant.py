@@ -1,23 +1,27 @@
-"""Post-training int8 quantization for serving (W8A8, dynamic activation
-scales) — a deployment capability with no reference counterpart (the
-reference serves fp32 eager torch only).
+"""Post-training int8 quantization for serving — a deployment capability
+with no reference counterpart (the reference serves fp32 eager torch only).
 
-TPU-native rationale: the v5e MXU runs int8×int8→int32 at 394 TOPS — double
-its bf16 peak — and int8 weights halve their HBM traffic. All seven linear
-families (patch embed, qkv, attn proj, fc1, fc2, head) run as int8 matmuls:
+Two modes over the SAME int8 artifacts (`quantize_params` output):
 
-  * weights: per-output-channel symmetric int8 (offline, `quantize_params`);
-  * activations: per-token symmetric int8, scales computed on the fly from
-    the running tensor (dynamic quantization — no calibration set needed);
-  * accumulation in int32, dequantized by the rank-1 outer product of the
-    two scale vectors.
+  * **W8A8** (`mode="w8a8"`): int8×int8→int32 MXU matmuls (394 TOPS on v5e,
+    double the bf16 peak) with per-token dynamic activation scales — no
+    calibration set needed; accumulation in int32, dequantized by the
+    rank-1 outer product of the two scale vectors.
+  * **W8A16** (`mode="w8a16"`, weight-only): weights dequantize to bf16
+    inside the matmul fusion, activations stay bf16 — no activation
+    round/clip chain at all. Halves WEIGHT HBM traffic vs bf16 params, so
+    it targets the weight-bound serving regime (small batches / latency),
+    where W8A8's per-token quantization overhead is pure loss.
+
+  * weights: per-output-channel symmetric int8 (offline, `quantize_params`)
+    in both modes — one artifact serves both.
 
 Everything non-matmul (LayerNorm, softmax, GELU, PE generators, the
-attention inner products q·kᵀ / p·v, residuals) stays in float32 — these are
-bandwidth-bound vector ops where int8 buys nothing but error. Numerics:
-quantization error is bounded by the per-channel/per-token abs-max grids;
-`tests/test_quant.py` enforces logit closeness and top-1 agreement with the
-fp32 path on trained models.
+attention inner products q·kᵀ / p·v, residuals) stays in float (f32 for
+w8a8, bf16 for w8a16) — bandwidth-bound vector ops where int8 buys nothing
+but error. Numerics: quantization error is bounded by the per-channel /
+per-token abs-max grids; `tests/test_quant.py` enforces logit closeness
+and top-1 agreement with the fp32 path on trained models in both modes.
 """
 
 from __future__ import annotations
@@ -104,17 +108,39 @@ def q8_linear(x, w_q, w_scale, bias=None):
     return y
 
 
-def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl):
+def q8_linear_wo(x, w_q, w_scale, bias=None):
+    """Weight-only (W8A16) linear: the int8 weight dequantizes to bf16 —
+    full-precision f32 dequant rounded once to bf16, an elementwise chain
+    XLA fuses into the dot's operand read — and the matmul runs bf16×bf16
+    with f32 accumulation. No activation quantization chain, no
+    optimization_barrier needed (the w8a8 compile hang was in the act
+    round/clip fusion)."""
+    w = (w_q.astype(jnp.float32) * w_scale[:, None]).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+_Q8_LINEAR = {"w8a8": q8_linear, "w8a16": q8_linear_wo}
+
+
+def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl,
+              mode: str = "w8a8"):
     """Serving twin of models.vit._block_body (eval path only — no dropout),
     with the four block linears quantized; LN/attention-inner/softmax fp32.
     `impl` dispatches the attention core exactly like the fp32 path (the
     Pallas streaming kernel owns N > 2048 under "auto")."""
+    lin = _Q8_LINEAR[mode]
     eps = cfg.layer_norm_eps
     h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
                     params[f"{prefix}.norm1.bias"], eps)
     bsz, n, e = h.shape
     nh, dh = cfg.num_heads, cfg.head_dim
-    qkv = q8_linear(h, params[f"{prefix}.attn.qkv.weight:q8"],
+    qkv = lin(h, params[f"{prefix}.attn.qkv.weight:q8"],
                     params[f"{prefix}.attn.qkv.weight:scale"])
     qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
     if impl == "flash":
@@ -134,32 +160,39 @@ def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl):
             qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
             freqs_cis=freqs_cis)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
-    attn_out = q8_linear(attn_out, params[f"{prefix}.attn.proj.weight:q8"],
+    attn_out = lin(attn_out, params[f"{prefix}.attn.proj.weight:q8"],
                          params[f"{prefix}.attn.proj.weight:scale"],
                          params[f"{prefix}.attn.proj.bias"])
     x = x + attn_out
     h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
                     params[f"{prefix}.norm2.bias"], eps)
-    h = q8_linear(h, params[f"{prefix}.mlp.fc1.weight:q8"],
+    h = lin(h, params[f"{prefix}.mlp.fc1.weight:q8"],
                   params[f"{prefix}.mlp.fc1.weight:scale"],
                   params[f"{prefix}.mlp.fc1.bias"])
     h = jax.nn.gelu(h, approximate=False)
-    h = q8_linear(h, params[f"{prefix}.mlp.fc2.weight:q8"],
+    h = lin(h, params[f"{prefix}.mlp.fc2.weight:q8"],
                   params[f"{prefix}.mlp.fc2.weight:scale"],
                   params[f"{prefix}.mlp.fc2.bias"])
     return x + h
 
 
-def apply_q8(qparams: dict, images, cfg: ViTConfig):
+def apply_q8(qparams: dict, images, cfg: ViTConfig, mode: str = "w8a8"):
     """Quantized forward: [B, H, W, C] float images -> [B, classes] logits.
-    Mirrors models.vit.apply / forward_features (eval semantics)."""
+    Mirrors models.vit.apply / forward_features (eval semantics).
+    mode: "w8a8" (int8 MXU, f32 activations) or "w8a16" (weight-only —
+    bf16 activations, int8 weights dequantized in the matmul fusion)."""
+    if mode not in _Q8_LINEAR:
+        raise ValueError(f"unknown int8 mode {mode!r}; "
+                         f"options: {sorted(_Q8_LINEAR)}")
+    lin = _Q8_LINEAR[mode]
+    adtype = jnp.bfloat16 if mode == "w8a16" else jnp.float32
     pe_mod = pe_registry.get(cfg.pos_encoding)
     b, e = images.shape[0], cfg.embed_dim
-    x = patchify(images.astype(jnp.float32), cfg)
-    x = q8_linear(x, qparams["patch_embed.weight:q8"],
-                  qparams["patch_embed.weight:scale"],
-                  qparams["patch_embed.bias"])
-    cls = jnp.broadcast_to(qparams["cls_token"].astype(jnp.float32),
+    x = patchify(images.astype(adtype), cfg)
+    x = lin(x, qparams["patch_embed.weight:q8"],
+            qparams["patch_embed.weight:scale"],
+            qparams["patch_embed.bias"])
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(x.dtype),
                            (b, 1, e))
     x = jnp.concatenate([cls, x], axis=1)
 
@@ -176,9 +209,10 @@ def apply_q8(qparams: dict, images, cfg: ViTConfig):
 
     impl = _attention_impl(cfg)
     for i in range(cfg.depth):
-        x = _q8_block(qparams, f"blocks.{i}", x, cfg, bias, freqs_cis, impl)
+        x = _q8_block(qparams, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
+                      mode)
     x = _layer_norm(x, qparams["norm.weight"], qparams["norm.bias"],
                     cfg.layer_norm_eps)
-    logits = q8_linear(x[:, 0], qparams["head.weight:q8"],
-                       qparams["head.weight:scale"], qparams["head.bias"])
-    return logits
+    logits = lin(x[:, 0], qparams["head.weight:q8"],
+                 qparams["head.weight:scale"], qparams["head.bias"])
+    return logits.astype(jnp.float32)

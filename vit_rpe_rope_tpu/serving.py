@@ -34,24 +34,34 @@ def _is_quantized_state(params: dict) -> bool:
     return any(k.endswith(":q8") for k in params)
 
 
+def _int8_mode(int8) -> str | None:
+    """Normalize the int8 option: False -> None, True -> "w8a8" (the
+    original behavior), or an explicit mode string ("w8a8" / "w8a16")."""
+    if not int8:
+        return None
+    return "w8a8" if int8 is True else str(int8)
+
+
 def make_infer_fn(cfg: ViTConfig, mean, std, native_size: int,
-                  int8: bool = False):
+                  int8=False):
     """(params, images uint8 [B, native, native, C]) -> logits [B, classes].
 
     Bakes the eval preprocessing (normalize + resize to cfg.img_size) in
     front of the forward, so the serving input contract is raw dataset-format
     pixels — the same tensors the training data pipeline stages.
 
-    int8=True expects quant.quantize_params output and runs the W8A8
-    quantized forward (int8 MXU matmuls — see quant.py)."""
+    int8: truthy values expect quant.quantize_params output; True/"w8a8"
+    runs the int8-MXU W8A8 forward, "w8a16" the weight-only bf16 forward
+    (both over the same artifacts — see quant.py)."""
     preprocess = ts.make_preprocess(cfg, mean, std, native_size)
+    mode = _int8_mode(int8)
 
     def infer(params, images_u8):
         x = preprocess(images_u8)
-        if int8:
+        if mode is not None:
             from vit_rpe_rope_tpu import quant
 
-            return quant.apply_q8(params, x, cfg)
+            return quant.apply_q8(params, x, cfg, mode=mode)
         return vit.apply(params, x, cfg)
 
     return infer
@@ -59,7 +69,7 @@ def make_infer_fn(cfg: ViTConfig, mean, std, native_size: int,
 
 def export_model(params, cfg: ViTConfig, mean, std, native_size: int,
                  batch: int | None = None, platforms=("tpu", "cpu"),
-                 int8: bool = False, mesh=None) -> jax_export.Exported:
+                 int8=False, mesh=None) -> jax_export.Exported:
     """AOT-lower inference to a multi-platform Exported with params embedded
     as constants. batch=None exports a symbolic batch dimension ("b") —
     callable at ANY batch size; an int pins a static batch (marginally
@@ -135,7 +145,7 @@ def load_artifact(path: str) -> jax_export.Exported:
 def load_serving_state(checkpoint_path: str, dataset: str = "auto",
                        num_heads: int = 6, grid_size: int | None = None,
                        rope_mixed_compat_scramble: bool = False,
-                       int8: bool = False):
+                       int8=False):
     """Checkpoint (.npz ours / .pth reference) -> (params, cfg, mean, std,
     native_size, dataset): everything needed to build a Predictor or export
     an artifact. Architecture is reconstructed from the checkpoint's shapes
@@ -185,7 +195,7 @@ class Predictor:
 
     @classmethod
     def from_params(cls, params, cfg: ViTConfig, mean, std, native_size: int,
-                    mesh=None, int8: bool = False):
+                    mesh=None, int8=False):
         if int8 and not _is_quantized_state(params):
             from vit_rpe_rope_tpu import quant
 
