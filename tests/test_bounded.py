@@ -125,3 +125,34 @@ def test_bounded_step_trajectory_matches_train_step():
         np.testing.assert_allclose(
             np.asarray(p_b[key]), np.asarray(p_m[key]), rtol=5e-4,
             atol=5e-6, err_msg=key)
+
+
+def test_fit_routes_through_bounded_driver(tmp_path, monkeypatch):
+    """--q_chunk from the CLI surface: fit() trains end-to-end through the
+    bounded-program driver (gather -> bounded step -> metrics/CSV/ckpt)."""
+    import functools
+
+    from vit_rpe_rope_tpu.data import datasets as ds
+    from vit_rpe_rope_tpu.train.loop import fit
+
+    monkeypatch.setattr(ds, "synthetic",
+                        functools.partial(ds.synthetic, n_train=24,
+                                          n_test=16))
+    cfg = ViTConfig(img_size=28, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=1, num_heads=2, pos_encoding="rope-axial")
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=1,
+                       synthetic_data=True, q_chunk=512, save_last=False,
+                       log_dir=str(tmp_path), ckpt_dir=str(tmp_path))
+    summary = fit(cfg, tcfg, verbose=False)
+    assert summary["num_devices"] == 1
+    hist = summary["history"]
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
+    assert 0.0 <= hist[0]["test_acc"] <= 100.0
+    import os
+    assert os.path.exists(summary["log_file"])
+
+
+def test_q_chunk_rejects_parallelism():
+    with pytest.raises(ValueError, match="bounded-program"):
+        TrainConfig(dataset="mnist", batch_size=8, epochs=1, q_chunk=512,
+                    model_parallel=2)

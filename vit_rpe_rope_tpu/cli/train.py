@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="[extension] gradient accumulation: batches summed "
                           "per optimizer step (effective batch = batch_size "
                           "x grad_accum at one batch of activation memory)")
+    ext.add_argument("--q_chunk", type=int, default=0,
+                     help="[extension] bounded-program stepping: slice each "
+                          "train step into many short single-device programs "
+                          "(this many attention query rows per program) — "
+                          "for per-program execution deadlines and remat-"
+                          "free residency at very long N (train/bounded.py); "
+                          "0 = monolithic step")
     ext.add_argument("--zero1", action="store_true",
                      help="[extension] ZeRO stage 1: shard the Adam moments "
                           "over the data axis (1/n_data optimizer memory per "
@@ -192,6 +199,7 @@ def main(argv=None):
         grad_accum=args.grad_accum,
         steps_per_dispatch=args.steps_per_dispatch,
         zero1=args.zero1,
+        q_chunk=args.q_chunk,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

@@ -185,6 +185,13 @@ class TrainConfig:
     # per-microbatch fwd+bwd, so activation memory stays one batch. The
     # update is bit-comparable to one step on the concatenated batch.
     grad_accum: int = 1
+    # Bounded-program stepping (train/bounded.py): > 0 slices each train
+    # step into many short single-device programs — the attention runs
+    # q_chunk query rows per program — for environments with a per-program
+    # execution deadline and for remat-free explicit residency at very
+    # long N. 0 = monolithic step (default). Single-device; incompatible
+    # with the parallelism/zero1/grad_accum/augment knobs.
+    q_chunk: int = 0
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -219,6 +226,17 @@ class TrainConfig:
                 "zero1 shards the flat-vector optimizer over the data axis "
                 "and is incompatible with model/sequence/pipeline "
                 "parallelism > 1 (those drivers keep dict params)")
+        if self.q_chunk < 0:
+            raise ValueError(f"q_chunk must be >= 0; got {self.q_chunk}")
+        if self.q_chunk > 0 and (self.model_parallel > 1
+                                 or self.sequence_parallel > 1
+                                 or self.pipeline_parallel > 1
+                                 or self.zero1 or self.grad_accum > 1
+                                 or self.augment):
+            raise ValueError(
+                "q_chunk (bounded-program stepping) is a single-device "
+                "driver: incompatible with model/sequence/pipeline "
+                "parallelism, zero1, grad_accum > 1, and augment")
 
     @property
     def in_chans(self) -> int:

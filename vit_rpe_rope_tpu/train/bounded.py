@@ -169,18 +169,20 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         h = _linear(h, bp["mlp.fc2.weight"], bp["mlp.fc2.bias"])
         return x + h
 
-    def _head(hp, xcls, labels):
+    def _head(hp, xcls, labels, mask):
         """Final LN on the cls row only (LN is per-token, the head reads
-        row 0 — same value as LN over all tokens then slicing) -> loss."""
+        row 0 — same value as LN over all tokens then slicing) -> loss.
+        mask [B] zeroes padding examples of a final partial batch (same
+        semantics as train_step._gather_batch)."""
         xf = _layer_norm(xcls, hp["norm.weight"], hp["norm.bias"], eps)
         logits = _linear(xf[:, 0], hp["head.weight"],
                          hp["head.bias"]).astype(jnp.float32)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels)
-        count = jnp.float32(labels.shape[0])
-        loss = jnp.sum(losses) / count
+        count = jnp.sum(mask)
+        loss = jnp.sum(losses * mask) / jnp.maximum(count, 1.0)
         correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels)
-                          .astype(jnp.float32))
+                          .astype(jnp.float32) * mask)
         return loss, (correct, count)
 
     jit = jax.jit
@@ -192,6 +194,7 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     post_b = jit(lambda bp, x, o, dy: jax.vjp(_post, bp, x, o)[1](dy))
     post_f = jit(_post)
     head_vg = jit(jax.value_and_grad(_head, argnums=(0, 1), has_aux=True))
+    ones_mask = jit(lambda labels: jnp.ones(labels.shape, jnp.float32))
     scatter_cls = jit(lambda dxcls, bsz=None: jnp.zeros(
         (dxcls.shape[0], n_pad, e), dxcls.dtype).at[:, :1].set(dxcls))
     add_donate = jit(lambda a, b: a + b, donate_argnums=(0,))
@@ -229,9 +232,11 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
     hp_names = ("norm.weight", "norm.bias", "head.weight", "head.bias")
 
-    def step(params, opt_state, step_vec, images_u8, labels):
+    def step(params, opt_state, step_vec, images_u8, labels, mask=None):
         del step_vec  # LR schedule lives in opt_state (optax count)
         bsz = labels.shape[0]
+        if mask is None:
+            mask = ones_mask(labels)
 
         # ---------------- forward ----------------
         x, aux = embed_f(params, images_u8)
@@ -253,7 +258,7 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
         hp = {nm: params[nm] for nm in hp_names}
         ((loss, (correct, count)), (dhp, dxcls)) = head_vg(
-            hp, xs[-1][:, :1], labels)
+            hp, xs[-1][:, :1], labels, mask)
 
         # ---------------- backward ----------------
         grads = dict(dhp)

@@ -107,7 +107,12 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # (parallel/tp_cp.py); PP is an alternative use of the 'model' axis
     # (configs.py rejects combining it). A lone CP run keeps the 2-axis
     # mesh with tokens on 'model' (make_mesh folds seq into it).
+    # Bounded-program stepping (q_chunk > 0) is a single-device driver:
+    # it pins a 1-device mesh (configs.py already rejects combining it
+    # with the parallelism knobs).
+    use_bounded = tcfg.q_chunk > 0
     mesh = make_mesh(batch_size=tcfg.batch_size,
+                     num_devices=1 if use_bounded else None,
                      model_parallel=max(tcfg.model_parallel,
                                         tcfg.pipeline_parallel),
                      seq_parallel=tcfg.sequence_parallel)
@@ -174,6 +179,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         # the fused driver drop its live-guard state selects.
         k = (ts.pick_steps_per_dispatch(steps_per_epoch)
              if jax.default_backend() == "tpu" else 1)
+    if use_bounded:
+        k = 1  # the bounded driver is host-scheduled; dispatches don't fuse
     k = max(1, min(k, steps_per_epoch))
     stride = k * accum  # index rows consumed per dispatch
     # The fused driver trains on a FLAT vector of DEPTH-STACKED params (one
@@ -184,7 +191,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # rides the flat driver (it shards the flat moment vectors).
     use_flat = ((k > 1 or tcfg.zero1 or accum > 1)
                 and not use_tp and not use_cp and not use_pp
-                and not use_tpcp)
+                and not use_tpcp and not use_bounded)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -324,6 +331,18 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         train_fn = ts.make_pp_train_step(
             cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_bounded:
+        from vit_rpe_rope_tpu.train.bounded import make_bounded_step
+
+        bounded_step = make_bounded_step(cfg, tcfg, tx, preprocess,
+                                         q_chunk=tcfg.q_chunk)
+        gather_batch_j = jax.jit(ts._gather_batch)
+
+        def train_fn(params, opt_state, step_arr, data_x, data_y, epoch_idx):
+            imgs, labels, mask = gather_batch_j(data_x, data_y,
+                                                epoch_idx[step_arr[0]])
+            return bounded_step(params, opt_state, step_arr, imgs, labels,
+                                mask)
     elif use_flat:
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
