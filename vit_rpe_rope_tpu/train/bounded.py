@@ -195,13 +195,14 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     post_f = jit(_post)
     head_vg = jit(jax.value_and_grad(_head, argnums=(0, 1), has_aux=True))
     ones_mask = jit(lambda labels: jnp.ones(labels.shape, jnp.float32))
-    scatter_cls = jit(lambda dxcls, bsz=None: jnp.zeros(
+    scatter_cls = jit(lambda dxcls: jnp.zeros(
         (dxcls.shape[0], n_pad, e), dxcls.dtype).at[:, :1].set(dxcls))
     add_donate = jit(lambda a, b: a + b, donate_argnums=(0,))
     tree_add = jit(functools.partial(jax.tree_util.tree_map, jnp.add))
     upd_rows = jit(
         lambda buf, part, r0: jax.lax.dynamic_update_slice_in_dim(
-            buf, part, r0, axis=2), donate_argnums=(0,), static_argnums=())
+            buf, part, r0, axis=2), donate_argnums=(0,))
+    one_chunk = len(starts) == 1
     opt_upd = jit(lambda params, opt_state, grads: (
         lambda u_o: (optax.apply_updates(params, u_o[0]), u_o[1]))(
             tx.update(grads, opt_state, params)), donate_argnums=(0, 1))
@@ -244,12 +245,16 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         for i in range(cfg.depth):
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
             q, k, v = pre_f(bp, x, aux)
-            o = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
-            lse = jnp.zeros((bsz, nh, n_pad, 1), jnp.float32)
-            for r0, sz in zip(starts, sizes):
-                o_c, lse_c = att_f[sz](q, k, v, aux, r0)
-                o = upd_rows(o, o_c, r0)
-                lse = upd_rows(lse, lse_c[..., None], r0)
+            if one_chunk:
+                o, lse_r = att_f[sizes[0]](q, k, v, aux, 0)
+                lse = lse_r[..., None]
+            else:
+                o = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
+                lse = jnp.zeros((bsz, nh, n_pad, 1), jnp.float32)
+                for r0, sz in zip(starts, sizes):
+                    o_c, lse_c = att_f[sz](q, k, v, aux, r0)
+                    o = upd_rows(o, o_c, r0)
+                    lse = upd_rows(lse, lse_c[..., None], r0)
             del q, k, v
             x = post_f(bp, x, o)
             xs.append(x)
@@ -270,19 +275,23 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             x_in, o, lse = xs[i], os_[i], lses[i]
             dbp_post, dx_a, do = post_b(bp, x_in, o, dx)
             q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
-            dq = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
-            dk = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
-            dv = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
-            dparam = None
-            for r0, sz in zip(starts, sizes):
-                dq_c, dk_c, dv_c, dp_c = att_b[sz](q, k, v, do, o, lse,
-                                                   aux, r0)
-                dq = upd_rows(dq, dq_c, r0)
-                dk = add_donate(dk, dk_c)
-                dv = add_donate(dv, dv_c)
-                if dp_c is not None:
-                    dparam = dp_c if dparam is None else add_donate(dparam,
-                                                                    dp_c)
+            if one_chunk:
+                dq, dk, dv, dparam = att_b[sizes[0]](q, k, v, do, o, lse,
+                                                     aux, 0)
+            else:
+                dq = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+                dk = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+                dv = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+                dparam = None
+                for r0, sz in zip(starts, sizes):
+                    dq_c, dk_c, dv_c, dp_c = att_b[sz](q, k, v, do, o, lse,
+                                                       aux, r0)
+                    dq = upd_rows(dq, dq_c, r0)
+                    dk = add_donate(dk, dk_c)
+                    dv = add_donate(dv, dv_c)
+                    if dp_c is not None:
+                        dparam = (dp_c if dparam is None
+                                  else add_donate(dparam, dp_c))
             del do
             dbp_pre, dx_b, da = pre_b(
                 bp, x_in, aux,
