@@ -156,3 +156,18 @@ def test_q_chunk_rejects_parallelism():
     with pytest.raises(ValueError, match="bounded-program"):
         TrainConfig(dataset="mnist", batch_size=8, epochs=1, q_chunk=512,
                     model_parallel=2)
+
+
+def test_bounded_evaluate_matches_forward():
+    cfg, tcfg, pre, tx, imgs, labels, params = _setup("polynomial")
+    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                             mm_dtype=jnp.float32)
+    m = np.asarray(step.evaluate(params, jnp.asarray([0], jnp.int32),
+                                 imgs, labels))
+    logits = vit.apply(params, pre(imgs), cfg)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    np.testing.assert_allclose(m[0], float(losses.mean()), rtol=2e-5,
+                               atol=1e-6)
+    want_correct = float((np.argmax(np.asarray(logits), -1)
+                          == np.asarray(labels)).sum())
+    assert m[1] == want_correct and m[2] == labels.shape[0]

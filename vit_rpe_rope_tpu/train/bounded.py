@@ -233,14 +233,12 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
     hp_names = ("norm.weight", "norm.bias", "head.weight", "head.bias")
 
-    def step(params, opt_state, step_vec, images_u8, labels, mask=None):
-        del step_vec  # LR schedule lives in opt_state (optax count)
-        bsz = labels.shape[0]
-        if mask is None:
-            mask = ones_mask(labels)
-
-        # ---------------- forward ----------------
+    def forward(params, images_u8, keep_residuals=True):
+        """Host-scheduled forward; returns (xs, os_, lses, aux) — the
+        residual lists the backward consumes (empty when
+        keep_residuals=False, e.g. eval)."""
         x, aux = embed_f(params, images_u8)
+        bsz = images_u8.shape[0]
         xs, os_, lses = [x], [], []
         for i in range(cfg.depth):
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
@@ -258,8 +256,33 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             del q, k, v
             x = post_f(bp, x, o)
             xs.append(x)
-            os_.append(o)
-            lses.append(lse)
+            if keep_residuals:
+                os_.append(o)
+                lses.append(lse)
+        return xs, os_, lses, aux
+
+    head_j = jit(_head)
+
+    def evaluate(params, step_vec, images_u8, labels, mask=None):
+        """Forward-only bounded evaluation: metrics [loss, correct, count]
+        with the same per-program bounds as the train step (the eval
+        counterpart fit() uses when q_chunk is set)."""
+        del step_vec
+        if mask is None:
+            mask = ones_mask(labels)
+        xs, _, _, _ = forward(params, images_u8, keep_residuals=False)
+        hp = {nm: params[nm] for nm in hp_names}
+        loss, (correct, count) = head_j(hp, xs[-1][:, :1], labels, mask)
+        return jnp.stack([loss, correct, count])
+
+    def step(params, opt_state, step_vec, images_u8, labels, mask=None):
+        del step_vec  # LR schedule lives in opt_state (optax count)
+        bsz = labels.shape[0]
+        if mask is None:
+            mask = ones_mask(labels)
+
+        # ---------------- forward ----------------
+        xs, os_, lses, aux = forward(params, images_u8)
 
         hp = {nm: params[nm] for nm in hp_names}
         ((loss, (correct, count)), (dhp, dxcls)) = head_vg(
@@ -317,4 +340,5 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
     step.n_chunks = len(starts)
     step.n_pad = n_pad
+    step.evaluate = evaluate
     return step

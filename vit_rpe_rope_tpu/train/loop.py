@@ -355,9 +355,21 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     eval_steps = -(-len(bundle.test_y) // tcfg.batch_size)
     k_eval = (ts.pick_steps_per_dispatch(eval_steps)
               if jax.default_backend() == "tpu" else 1)
-    eval_fn = ts.make_eval_step(
-        cfg, mesh, eval_preprocess, k=k_eval,
-        apply_fn=cp.apply_cp if use_cp else None)
+    if use_bounded:
+        # Forward-only bounded evaluation: same per-program bounds as the
+        # train step (a monolithic eval forward would hit the same
+        # execution deadline the bounded driver exists to avoid).
+        k_eval = 1
+
+        def eval_fn(params, step_arr, data_x, data_y, epoch_idx):
+            imgs, labels, mask = gather_batch_j(data_x, data_y,
+                                                epoch_idx[step_arr[0]])
+            return bounded_step.evaluate(params, step_arr, imgs, labels,
+                                         mask)
+    else:
+        eval_fn = ts.make_eval_step(
+            cfg, mesh, eval_preprocess, k=k_eval,
+            apply_fn=cp.apply_cp if use_cp else None)
     eval_idx = jax.device_put(
         ts.pad_epoch_indices(
             ts.epoch_indices(key, len(bundle.test_y), tcfg.batch_size, False),
