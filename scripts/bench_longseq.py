@@ -42,6 +42,10 @@ CONFIGS = {
     # WITHOUT remat: the H=1 freq tables + lane-major lse leave enough HBM,
     # and remat's ~1.5× step-time cost (measured 15.95 vs 10.79 s/step at
     # N=262k) pushes the step past the tunnel's ~60 s execute wall.
+    2096705: dict(img_size=5792, batch=1,
+                  compute_dtype="bfloat16"),  # 1448² patches + cls — TWO
+    # million tokens; bounded-driver (--q_chunk) territory only: the
+    # attention alone is ~4x the N=1M step.
     1048577: dict(img_size=4096, batch=1, remat=True,
                   compute_dtype="bfloat16"),  # 1024² patches + cls — one
     # MILLION tokens. Memory-feasible with remat + bf16 (unrematerialized
