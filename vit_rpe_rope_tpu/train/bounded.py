@@ -223,7 +223,7 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             li = jax.lax.dynamic_slice_in_dim(lse, r0, _sz, axis=2)
             delta = jnp.sum(gi.astype(jnp.float32) * oi.astype(jnp.float32),
                             axis=-1)
-            return streaming_chunk_bwd(qi, k, v, gi, li[:, :, :, 0], delta,
+            return streaming_chunk_bwd(qi, k, v, gi, li, delta,
                                        scale, r0, 0, n,
                                        interpret=interpret,
                                        mm_dtype=mm_dtype, **_chunk_kw(aux))
@@ -244,15 +244,17 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
             q, k, v = pre_f(bp, x, aux)
             if one_chunk:
-                o, lse_r = att_f[sizes[0]](q, k, v, aux, 0)
-                lse = lse_r[..., None]
+                o, lse = att_f[sizes[0]](q, k, v, aux, 0)
             else:
                 o = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
-                lse = jnp.zeros((bsz, nh, n_pad, 1), jnp.float32)
+                # lse stays LANE-MAJOR [B, H, n_pad] (token dim last):
+                # a [..., n_pad, 1] layout would pad its unit minor to the
+                # 128-lane tile — ~2 GB of HBM at N=1M instead of 16 MB.
+                lse = jnp.zeros((bsz, nh, n_pad), jnp.float32)
                 for r0, sz in zip(starts, sizes):
                     o_c, lse_c = att_f[sz](q, k, v, aux, r0)
                     o = upd_rows(o, o_c, r0)
-                    lse = upd_rows(lse, lse_c[..., None], r0)
+                    lse = upd_rows(lse, lse_c, r0)
             del q, k, v
             x = post_f(bp, x, o)
             xs.append(x)
