@@ -171,3 +171,32 @@ def test_bounded_evaluate_matches_forward():
     want_correct = float((np.argmax(np.asarray(logits), -1)
                           == np.asarray(labels)).sum())
     assert m[1] == want_correct and m[2] == labels.shape[0]
+
+
+def test_bounded_step_partial_batch_mask():
+    """Masked examples (a final partial batch) contribute nothing to the
+    gradient and the metrics count only real examples — same contract as
+    train_step._gather_batch."""
+    cfg, tcfg, pre, tx, imgs, labels, params = _setup("rope-axial", batch=4)
+    mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+
+    def loss_fn(p):
+        logits = vit.apply(p, pre(imgs), cfg)
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels)
+        return jnp.sum(losses * mask) / 2.0
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+
+    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                             mm_dtype=jnp.float32, debug_grads=True)
+    _, _, metrics, grads = step(dict(params), tx.init(params),
+                                jnp.asarray([0], jnp.int32), imgs, labels,
+                                mask)
+    np.testing.assert_allclose(float(metrics[0]), float(ref_loss),
+                               rtol=2e-5, atol=1e-6)
+    assert float(metrics[2]) == 2.0
+    for key in sorted(ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(grads[key]), np.asarray(ref_grads[key]),
+            rtol=2e-4, atol=2e-6, err_msg=key)
