@@ -257,10 +257,12 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                     lse = upd_rows(lse, lse_c, r0)
             del q, k, v
             x = post_f(bp, x, o)
-            xs.append(x)
             if keep_residuals:
+                xs.append(x)
                 os_.append(o)
                 lses.append(lse)
+            else:
+                xs[-1] = x  # eval holds only the latest block output
         return xs, os_, lses, aux
 
     head_j = jit(_head)
@@ -295,33 +297,42 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         dx = scatter_cls(dxcls)
         daux = jax.tree_util.tree_map(
             lambda a: jnp.zeros(a.shape, a.dtype), aux)
+        cast = jit(lambda a, dt: a.astype(dt), static_argnums=1)
         for i in reversed(range(cfg.depth)):
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
             x_in, o, lse = xs[i], os_[i], lses[i]
+            # Release list references as the walk consumes them — at very
+            # long N each retained [B, N, E]-class buffer is real HBM.
+            xs[i + 1] = os_[i] = lses[i] = None
             dbp_post, dx_a, do = post_b(bp, x_in, o, dx)
+            del dx
             q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
             if one_chunk:
                 dq, dk, dv, dparam = att_b[sizes[0]](q, k, v, do, o, lse,
                                                      aux, 0)
+                dq = cast(dq, q.dtype)
             else:
-                dq = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+                # dq rows are DISJOINT across chunks (written once, no
+                # accumulation) so the buffer stays in compute dtype;
+                # dk/dv accumulate across chunks and stay f32.
+                dq = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
                 dk = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
                 dv = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
                 dparam = None
                 for r0, sz in zip(starts, sizes):
                     dq_c, dk_c, dv_c, dp_c = att_b[sz](q, k, v, do, o, lse,
                                                        aux, r0)
-                    dq = upd_rows(dq, dq_c, r0)
+                    dq = upd_rows(dq, cast(dq_c, q.dtype), r0)
                     dk = add_donate(dk, dk_c)
                     dv = add_donate(dv, dv_c)
                     if dp_c is not None:
                         dparam = (dp_c if dparam is None
                                   else add_donate(dparam, dp_c))
-            del do
+            del do, o, lse
             dbp_pre, dx_b, da = pre_b(
                 bp, x_in, aux,
-                (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)))
-            del q, k, v, dq, dk, dv
+                (dq, cast(dk, k.dtype), cast(dv, v.dtype)))
+            del q, k, v, dq, dk, dv, x_in
             dx = add_donate(dx_a, dx_b)
             daux = tree_add(daux, da)
             if dparam is not None:  # in-kernel dcoeff/dtable partials
