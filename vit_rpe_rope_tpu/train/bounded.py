@@ -223,10 +223,13 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             li = jax.lax.dynamic_slice_in_dim(lse, r0, _sz, axis=2)
             delta = jnp.sum(gi.astype(jnp.float32) * oi.astype(jnp.float32),
                             axis=-1)
-            return streaming_chunk_bwd(qi, k, v, gi, li, delta,
-                                       scale, r0, 0, n,
-                                       interpret=interpret,
-                                       mm_dtype=mm_dtype, **_chunk_kw(aux))
+            dq, dk, dv, dp = streaming_chunk_bwd(
+                qi, k, v, gi, li, delta, scale, r0, 0, n,
+                interpret=interpret, mm_dtype=mm_dtype, **_chunk_kw(aux))
+            # Chunk PARTIALS travel in compute dtype (full-width f32 dk/dv
+            # transients are 2 GB each at N=2M); the caller's accumulator
+            # stays f32, so only the per-chunk contribution is rounded.
+            return dq.astype(q.dtype), dk.astype(q.dtype), dv.astype(q.dtype), dp
 
         att_f[sz] = jit(_afwd)
         att_b[sz] = jit(_abwd)
@@ -297,7 +300,8 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         dx = scatter_cls(dxcls)
         daux = jax.tree_util.tree_map(
             lambda a: jnp.zeros(a.shape, a.dtype), aux)
-        cast = jit(lambda a, dt: a.astype(dt), static_argnums=1)
+        cast = jit(lambda a, dt: a.astype(dt), static_argnums=1,
+                   donate_argnums=(0,))
         for i in reversed(range(cfg.depth)):
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
             x_in, o, lse = xs[i], os_[i], lses[i]
@@ -307,32 +311,36 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             dbp_post, dx_a, do = post_b(bp, x_in, o, dx)
             del dx
             q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
+            qkv_dtype = q.dtype
             if one_chunk:
                 dq, dk, dv, dparam = att_b[sizes[0]](q, k, v, do, o, lse,
                                                      aux, 0)
-                dq = cast(dq, q.dtype)
             else:
                 # dq rows are DISJOINT across chunks (written once, no
                 # accumulation) so the buffer stays in compute dtype;
-                # dk/dv accumulate across chunks and stay f32.
-                dq = jnp.zeros((bsz, nh, n_pad, dh), q.dtype)
+                # dk/dv accumulate across chunks in f32.
+                dq = jnp.zeros((bsz, nh, n_pad, dh), qkv_dtype)
                 dk = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
                 dv = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
                 dparam = None
                 for r0, sz in zip(starts, sizes):
                     dq_c, dk_c, dv_c, dp_c = att_b[sz](q, k, v, do, o, lse,
                                                        aux, r0)
-                    dq = upd_rows(dq, cast(dq_c, q.dtype), r0)
+                    dq = upd_rows(dq, dq_c, r0)
                     dk = add_donate(dk, dk_c)
                     dv = add_donate(dv, dv_c)
                     if dp_c is not None:
                         dparam = (dp_c if dparam is None
                                   else add_donate(dparam, dp_c))
-            del do, o, lse
-            dbp_pre, dx_b, da = pre_b(
-                bp, x_in, aux,
-                (dq, cast(dk, k.dtype), cast(dv, v.dtype)))
-            del q, k, v, dq, dk, dv, x_in
+            # pre_b recomputes q/k/v internally: release everything the
+            # vjp program doesn't need BEFORE dispatching it, and hand the
+            # cotangents over in compute dtype (each f32 buffer still live
+            # here is 1 GB at N=2M).
+            del do, o, lse, q, k, v
+            dk = cast(dk, qkv_dtype)
+            dv = cast(dv, qkv_dtype)
+            dbp_pre, dx_b, da = pre_b(bp, x_in, aux, (dq, dk, dv))
+            del dq, dk, dv, x_in
             dx = add_donate(dx_a, dx_b)
             daux = tree_add(daux, da)
             if dparam is not None:  # in-kernel dcoeff/dtable partials
