@@ -47,6 +47,7 @@ all rates 0, SURVEY.md Q11).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,18 @@ from vit_rpe_rope_tpu.ops.flash_attention import (
 from vit_rpe_rope_tpu.ops.rotary import rotate_half_split
 
 _ALIGN = 512  # kv-tile multiple: keeps every chunk/pad boundary tile-clean
+
+# BOUNDED_SYNC_DEBUG=1: block after every piece dispatch and print a tag —
+# memory bring-up tool for new N regimes (the tunnel exposes no
+# memory_stats(); the tag stream identifies the dispatch that OOMs).
+_SYNC_DEBUG = os.environ.get("BOUNDED_SYNC_DEBUG", "") == "1"
+
+
+def _dbg(tag, value):
+    if _SYNC_DEBUG:
+        jax.block_until_ready(value)
+        print(f"[bounded] {tag}", flush=True)
+    return value
 
 
 def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
@@ -240,12 +253,12 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         """Host-scheduled forward; returns (xs, os_, lses, aux) — the
         residual lists the backward consumes (empty when
         keep_residuals=False, e.g. eval)."""
-        x, aux = embed_f(params, images_u8)
+        x, aux = _dbg("embed_f", embed_f(params, images_u8))[0:2]
         bsz = images_u8.shape[0]
         xs, os_, lses = [x], [], []
         for i in range(cfg.depth):
             bp = {nm: params[f"blocks.{i}.{nm}"] for nm in BLOCK_PARAM_NAMES}
-            q, k, v = pre_f(bp, x, aux)
+            q, k, v = _dbg(f"pre_f[{i}]", pre_f(bp, x, aux))
             if one_chunk:
                 o, lse = att_f[sizes[0]](q, k, v, aux, 0)
             else:
@@ -258,8 +271,9 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                     o_c, lse_c = att_f[sz](q, k, v, aux, r0)
                     o = upd_rows(o, o_c, r0)
                     lse = upd_rows(lse, lse_c, r0)
+                    _dbg(f"att_f[{i}]@{r0}", lse)
             del q, k, v
-            x = post_f(bp, x, o)
+            x = _dbg(f"post_f[{i}]", post_f(bp, x, o))
             if keep_residuals:
                 xs.append(x)
                 os_.append(o)
@@ -308,7 +322,8 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             # Release list references as the walk consumes them — at very
             # long N each retained [B, N, E]-class buffer is real HBM.
             xs[i + 1] = os_[i] = lses[i] = None
-            dbp_post, dx_a, do = post_b(bp, x_in, o, dx)
+            dbp_post, dx_a, do = _dbg(f"post_b[{i}]",
+                                      post_b(bp, x_in, o, dx))
             del dx
             q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
             qkv_dtype = q.dtype
@@ -329,6 +344,7 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                     dq = upd_rows(dq, dq_c, r0)
                     dk = add_donate(dk, dk_c)
                     dv = add_donate(dv, dv_c)
+                    _dbg(f"att_b[{i}]@{r0}", dv)
                     if dp_c is not None:
                         dparam = (dp_c if dparam is None
                                   else add_donate(dparam, dp_c))
@@ -339,7 +355,8 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             del do, o, lse, q, k, v
             dk = cast(dk, qkv_dtype)
             dv = cast(dv, qkv_dtype)
-            dbp_pre, dx_b, da = pre_b(bp, x_in, aux, (dq, dk, dv))
+            dbp_pre, dx_b, da = _dbg(f"pre_b[{i}]",
+                                     pre_b(bp, x_in, aux, (dq, dk, dv)))
             del dq, dk, dv, x_in
             dx = add_donate(dx_a, dx_b)
             daux = tree_add(daux, da)
@@ -349,11 +366,13 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             for nm in BLOCK_PARAM_NAMES:
                 grads[f"blocks.{i}.{nm}"] = dbp[nm]
 
-        dparams_embed = embed_b(params, images_u8, dx, daux)
+        dparams_embed = _dbg("embed_b",
+                             embed_b(params, images_u8, dx, daux))
         for key, g in dparams_embed.items():
             grads[key] = tree_add(grads[key], g) if key in grads else g
 
-        new_params, opt_state = opt_upd(params, opt_state, grads)
+        new_params, opt_state = _dbg("opt_upd",
+                                     opt_upd(params, opt_state, grads))
         metrics = jnp.stack([loss, correct, count])
         if debug_grads:
             return new_params, opt_state, metrics, grads
