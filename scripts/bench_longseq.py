@@ -57,7 +57,7 @@ CONFIGS = {
 
 
 def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
-        q_chunk: int = 0) -> dict:
+        q_chunk: int = 0, kv_chunk: int = 0) -> dict:
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -79,7 +79,7 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
     batch = spec["batch"]
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
     if q_chunk:
-        return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk)
+        return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk)
     mesh = make_mesh(batch_size=batch, num_devices=1)
     rep = NamedSharding(mesh, P())
 
@@ -117,7 +117,7 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
                 loss=round(float(np.asarray(m)[0]), 4))
 
 
-def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk):
+def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0):
     """Bounded-program stepping (train/bounded.py): the same step as MANY
     short programs — each attention program covers q_chunk query rows —
     for environments with a per-program execution deadline (this machine's
@@ -139,7 +139,8 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk):
     labels = jnp.asarray((np.arange(batch) % 10).astype(np.int32))
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     opt = tx.init(params)
-    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk)
+    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk,
+                             kv_chunk=kv_chunk)
 
     t_c0 = time.perf_counter()
     params, opt, m = step(params, opt, jnp.asarray([0], jnp.int32),
@@ -155,7 +156,8 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk):
     m.block_until_ready()
     dt = (time.perf_counter() - t0) / steps
     return dict(pe=pe, n=n, impl="bounded", batch=batch,
-                q_chunk=q_chunk, n_programs_attn=step.n_chunks,
+                q_chunk=q_chunk, kv_chunk=kv_chunk,
+                n_programs_attn=step.n_chunks,
                 step_s=round(dt, 4), compile_s=round(compile_s, 1),
                 loss=round(float(np.asarray(m)[0]), 4))
 
@@ -174,6 +176,9 @@ def main():
     ap.add_argument("--q_chunk", type=int, default=0,
                     help="bounded-program stepping: query rows per "
                          "attention program (0 = monolithic step)")
+    ap.add_argument("--kv_chunk", type=int, default=0,
+                    help="bounded backward: also segment the key axis "
+                         "(bounds dk/dv residency; needed at N=2M)")
     args = ap.parse_args()
     for n in args.n:
         for pe in args.pe:
@@ -181,7 +186,8 @@ def main():
                                  remat=None if args.remat is None
                                  else bool(args.remat),
                                  dtype=args.dtype,
-                                 q_chunk=args.q_chunk)), flush=True)
+                                 q_chunk=args.q_chunk,
+                                 kv_chunk=args.kv_chunk)), flush=True)
 
 
 if __name__ == "__main__":

@@ -200,3 +200,24 @@ def test_bounded_step_partial_batch_mask():
         np.testing.assert_allclose(
             np.asarray(grads[key]), np.asarray(ref_grads[key]),
             rtol=2e-4, atol=2e-6, err_msg=key)
+
+
+@pytest.mark.parametrize("pe", ["rope-axial", "polynomial"])
+def test_bounded_step_kv_segmented(pe):
+    """kv_chunk > 0: the backward also segments the key axis at the host
+    level (3 q-chunks x 3 kv-segments of 512) — same gradients."""
+    cfg, tcfg, pre, tx, imgs, labels, params = _setup(pe, img=128, depth=1)
+    ref_loss, ref_grads = _oracle(params, cfg, pre, imgs, labels)
+
+    step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512, kv_chunk=512,
+                             mm_dtype=jnp.float32, debug_grads=True)
+    assert step.n_chunks == 3
+    opt = tx.init(params)
+    _, _, metrics, grads = step(dict(params), opt,
+                                jnp.asarray([0], jnp.int32), imgs, labels)
+    np.testing.assert_allclose(float(metrics[0]), float(ref_loss),
+                               rtol=2e-5, atol=1e-6)
+    for key in sorted(ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(grads[key]), np.asarray(ref_grads[key]),
+            rtol=2e-4, atol=2e-6, err_msg=f"{pe}: {key}")

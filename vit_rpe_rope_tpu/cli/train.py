@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "for per-program execution deadlines and remat-"
                           "free residency at very long N (train/bounded.py); "
                           "0 = monolithic step")
+    ext.add_argument("--kv_chunk", type=int, default=0,
+                     help="[extension] with --q_chunk: also segment the key "
+                          "axis of the backward (bounds dk/dv gradient "
+                          "residency; the N=2M single-chip regime needs it)")
     ext.add_argument("--zero1", action="store_true",
                      help="[extension] ZeRO stage 1: shard the Adam moments "
                           "over the data axis (1/n_data optimizer memory per "
@@ -200,6 +204,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch,
         zero1=args.zero1,
         q_chunk=args.q_chunk,
+        kv_chunk=args.kv_chunk,
     )
     summary = fit(cfg, tcfg)
     print(f"\nDone. Best Test Acc: {summary['best_acc']:.2f}% | "

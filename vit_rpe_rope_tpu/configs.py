@@ -192,6 +192,11 @@ class TrainConfig:
     # long N. 0 = monolithic step (default). Single-device; incompatible
     # with the parallelism/zero1/grad_accum/augment knobs.
     q_chunk: int = 0
+    # With q_chunk: also segment the KEY axis of the backward at the host
+    # level (kv_chunk keys per program) — bounds dk/dv gradient residency
+    # by the segment size (the N=2M single-chip regime needs it). 0 = the
+    # backward sees all keys per program.
+    kv_chunk: int = 0
 
     def __post_init__(self):
         if self.dataset not in ("mnist", "cifar10"):
@@ -228,6 +233,11 @@ class TrainConfig:
                 "parallelism > 1 (those drivers keep dict params)")
         if self.q_chunk < 0:
             raise ValueError(f"q_chunk must be >= 0; got {self.q_chunk}")
+        if self.kv_chunk < 0:
+            raise ValueError(f"kv_chunk must be >= 0; got {self.kv_chunk}")
+        if self.kv_chunk > 0 and self.q_chunk == 0:
+            raise ValueError("kv_chunk requires q_chunk > 0 "
+                             "(bounded-program stepping)")
         if self.q_chunk > 0 and (self.model_parallel > 1
                                  or self.sequence_parallel > 1
                                  or self.pipeline_parallel > 1

@@ -84,8 +84,9 @@ def _dbg(tag, value):
 
 
 def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
-                      q_chunk: int = 131072, mm_dtype=jnp.bfloat16,
-                      interpret=None, debug_grads: bool = False):
+                      q_chunk: int = 131072, kv_chunk: int = 0,
+                      mm_dtype=jnp.bfloat16, interpret=None,
+                      debug_grads: bool = False):
     """Build the bounded-program step.
 
     Returns step(params, opt_state, step_vec, images_u8, labels) ->
@@ -96,6 +97,13 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     q_chunk: query rows per attention program (rounded up to 512). The
     whole step issues ~depth·(2·ceil(N/q_chunk) + 4) + 5 programs; each
     attention program does q_chunk·N_pad of the N² work.
+    kv_chunk: 0 = each backward attention program sees ALL keys (its
+    full-width f32 dk/dv contributions are the dominant transients at
+    extreme N). > 0 = the backward ALSO segments the key axis at the host
+    level (outer loop over kv segments, inner over q chunks): dk/dv are
+    complete per segment — written ONCE into compute-dtype buffers, no
+    full-width f32 accumulators — bounding gradient residency by the
+    segment size. The N=2M single-chip config needs this.
     mm_dtype: in-kernel matmul dtype (bf16 = production; f32 for parity
     tests against the XLA oracle path).
     debug_grads: also return the raw gradient dict as a 4th element
@@ -114,6 +122,10 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     n_pad = _round_up(n, _ALIGN)
     starts = list(range(0, n_pad, q_chunk))
     sizes = [min(q_chunk, n_pad - s) for s in starts]
+    kv_chunk = _round_up(kv_chunk, _ALIGN) if kv_chunk else 0
+    kv_starts = list(range(0, n_pad, kv_chunk)) if kv_chunk else [0]
+    kv_sizes = ([min(kv_chunk, n_pad - c) for c in kv_starts] if kv_chunk
+                else [n_pad])
 
     kind = pe_mod.KIND
     rope = kind == PE_KIND_QK_ROTATION
@@ -215,6 +227,11 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     upd_rows = jit(
         lambda buf, part, r0: jax.lax.dynamic_update_slice_in_dim(
             buf, part, r0, axis=2), donate_argnums=(0,))
+    acc_rows = jit(
+        lambda buf, part, r0: jax.lax.dynamic_update_slice_in_dim(
+            buf, jax.lax.dynamic_slice_in_dim(
+                buf, r0, part.shape[2], axis=2) + part, r0, axis=2),
+        donate_argnums=(0,))
     one_chunk = len(starts) == 1
     opt_upd = jit(lambda params, opt_state, grads: (
         lambda u_o: (optax.apply_updates(params, u_o[0]), u_o[1]))(
@@ -246,6 +263,30 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
         att_f[sz] = jit(_afwd)
         att_b[sz] = jit(_abwd)
+
+    att_b2 = {}  # kv-segmented backward: one (q-chunk, kv-segment) program
+    if kv_chunk:
+        for szq in set(sizes):
+            for szk in set(kv_sizes):
+                def _abwd2(q, k, v, g, o, lse, aux, r0, c0,
+                           _szq=szq, _szk=szk):
+                    qi = jax.lax.dynamic_slice_in_dim(q, r0, _szq, axis=2)
+                    gi = jax.lax.dynamic_slice_in_dim(g, r0, _szq, axis=2)
+                    oi = jax.lax.dynamic_slice_in_dim(o, r0, _szq, axis=2)
+                    li = jax.lax.dynamic_slice_in_dim(lse, r0, _szq, axis=2)
+                    kj = jax.lax.dynamic_slice_in_dim(k, c0, _szk, axis=2)
+                    vj = jax.lax.dynamic_slice_in_dim(v, c0, _szk, axis=2)
+                    delta = jnp.sum(gi.astype(jnp.float32)
+                                    * oi.astype(jnp.float32), axis=-1)
+                    # f32 partials here: dq accumulates over kv segments
+                    # and dk/dv over q chunks — rounding happens only at
+                    # the segment write-back in the caller.
+                    return streaming_chunk_bwd(
+                        qi, kj, vj, gi, li, delta, scale, r0, c0, n,
+                        interpret=interpret, mm_dtype=mm_dtype,
+                        **_chunk_kw(aux))
+
+                att_b2[(szq, szk)] = jit(_abwd2)
 
     hp_names = ("norm.weight", "norm.bias", "head.weight", "head.bias")
 
@@ -327,7 +368,33 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
             del dx
             q, k, v = pre_f(bp, x_in, aux)  # cheap O(N) recompute
             qkv_dtype = q.dtype
-            if one_chunk:
+            if kv_chunk:
+                # Outer loop over KV SEGMENTS: dk/dv are complete per
+                # segment and written once (compute dtype, no full-width
+                # f32 accumulator); dq accumulates across segments in f32.
+                dq = jnp.zeros((bsz, nh, n_pad, dh), jnp.float32)
+                dk = jnp.zeros((bsz, nh, n_pad, dh), qkv_dtype)
+                dv = jnp.zeros((bsz, nh, n_pad, dh), qkv_dtype)
+                dparam = None
+                for c0, szk in zip(kv_starts, kv_sizes):
+                    dk_j = dv_j = None
+                    for r0, szq in zip(starts, sizes):
+                        dq_c, dk_c, dv_c, dp_c = att_b2[(szq, szk)](
+                            q, k, v, do, o, lse, aux, r0, c0)
+                        dq = acc_rows(dq, dq_c, r0)
+                        dk_j = (dk_c if dk_j is None
+                                else add_donate(dk_j, dk_c))
+                        dv_j = (dv_c if dv_j is None
+                                else add_donate(dv_j, dv_c))
+                        if dp_c is not None:
+                            dparam = (dp_c if dparam is None
+                                      else add_donate(dparam, dp_c))
+                        _dbg(f"att_b2[{i}]@{r0},{c0}", dv_j)
+                    dk = upd_rows(dk, cast(dk_j, qkv_dtype), c0)
+                    dv = upd_rows(dv, cast(dv_j, qkv_dtype), c0)
+                    del dk_j, dv_j
+                dq = cast(dq, qkv_dtype)
+            elif one_chunk:
                 dq, dk, dv, dparam = att_b[sizes[0]](q, k, v, do, o, lse,
                                                      aux, 0)
             else:

@@ -335,7 +335,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         from vit_rpe_rope_tpu.train.bounded import make_bounded_step
 
         bounded_step = make_bounded_step(cfg, tcfg, tx, preprocess,
-                                         q_chunk=tcfg.q_chunk)
+                                         q_chunk=tcfg.q_chunk,
+                                         kv_chunk=tcfg.kv_chunk)
         gather_batch_j = jax.jit(ts._gather_batch)
 
         def train_fn(params, opt_state, step_arr, data_x, data_y, epoch_idx):
