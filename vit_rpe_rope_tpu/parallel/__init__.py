@@ -13,11 +13,16 @@ ICI:
                           (--sequence_parallel)
 * pipeline_parallel.py  — PP: blocks staged, GPipe microbatch schedule
                           (--pipeline_parallel)
+* tp_cp.py              — TP × CP composed on a 3-axis
+                          ('data', 'seq', 'model') mesh
+                          (--model_parallel with --sequence_parallel)
 
 Data parallelism (psum gradient all-reduce) and ZeRO-1 optimizer-state
 sharding live in train/train_step.py; gradient accumulation
-(--grad_accum) composes with DP/ZeRO-1. TP, SP and PP are alternative uses
-of the mesh's second axis — one per run.
+(--grad_accum) composes with DP/ZeRO-1 and with TP/CP/TP×CP. Every
+strategy composes with DP on the leading 'data' axis; TP and CP
+additionally compose with each other (tp_cp.py). PP claims the whole
+non-data axis — it composes with DP but not with TP/CP in one run.
 
 Expert parallelism is deliberately ABSENT: the reference model family has no
 mixture-of-experts layer (a ViT with a dense MLP — /root/reference/models/
