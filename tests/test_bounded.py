@@ -202,10 +202,12 @@ def test_bounded_step_partial_batch_mask():
             rtol=2e-4, atol=2e-6, err_msg=key)
 
 
-@pytest.mark.parametrize("pe", ["rope-axial", "polynomial"])
+@pytest.mark.parametrize("pe", ["rope-axial", "polynomial", "relative"])
 def test_bounded_step_kv_segmented(pe):
     """kv_chunk > 0: the backward also segments the key axis at the host
-    level (3 q-chunks x 3 kv-segments of 512) — same gradients."""
+    level (3 q-chunks x 3 kv-segments of 512) — same gradients. Covers
+    relative too: its windowed dtable path must stay exact under BOTH a
+    nonzero q offset and a nonzero kv offset."""
     cfg, tcfg, pre, tx, imgs, labels, params = _setup(pe, img=128, depth=1)
     ref_loss, ref_grads = _oracle(params, cfg, pre, imgs, labels)
 
