@@ -462,9 +462,9 @@ def test_fit_sequence_parallel_cli(tmp_path):
 
 
 def test_sequence_parallel_composes_with_model_parallel():
-    # Round 3: TP × CP compose (3-axis mesh — tests/test_tp_cp.py); only
-    # pipeline parallelism remains an exclusive use of the 'model' axis.
+    # Round 3: TP × CP compose (3-axis mesh — tests/test_tp_cp.py) and
+    # PP × TP compose (tests/test_pp_tp.py); PP × SP has no mesh.
     TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
-    with pytest.raises(ValueError, match="alternative uses"):
+    with pytest.raises(ValueError, match="do not compose"):
         TrainConfig(dataset="mnist", pipeline_parallel=2,
                     sequence_parallel=2)

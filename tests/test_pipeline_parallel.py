@@ -157,10 +157,10 @@ def test_fit_pipeline_parallel_cli(tmp_path):
 
 
 def test_pipeline_parallel_config_validation():
-    with pytest.raises(ValueError, match="alternative uses"):
+    with pytest.raises(ValueError, match="do not compose"):
         TrainConfig(dataset="mnist", pipeline_parallel=2, sequence_parallel=2)
-    with pytest.raises(ValueError, match="alternative uses"):
-        TrainConfig(dataset="mnist", pipeline_parallel=2, model_parallel=2)
+    # PP × TP composes (parallel/pp_tp.py — tests/test_pp_tp.py).
+    TrainConfig(dataset="mnist", pipeline_parallel=2, model_parallel=2)
 
 
 @pytest.mark.parametrize("pe", ["polynomial", "relative"])

@@ -1,8 +1,9 @@
-"""Composed 3-axis parallelism (data × seq × model — parallel/tp_cp.py):
+"""Composed 3-axis parallelism (data × pipe × model — parallel/pp_tp.py):
 forward parity vs the replicated model for every PE mode, training
 trajectory parity vs plain DP, and the product surface (config + CLI).
 The reference has no distribution layer (SURVEY.md §2 #20); this is the
-round-3 composition of the TP and CP extensions."""
+depth×width composition of the PP and TP extensions (tp_cp.py is the
+width×tokens one)."""
 
 import jax
 import jax.numpy as jnp
@@ -13,32 +14,38 @@ import pytest
 from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
 from vit_rpe_rope_tpu.data import datasets
 from vit_rpe_rope_tpu.models import vit
+from vit_rpe_rope_tpu.parallel import pp_tp
 from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
-from vit_rpe_rope_tpu.parallel import tp_cp
 from vit_rpe_rope_tpu.parallel.mesh import (
-    DATA_AXIS, MODEL_AXIS, SEQ_AXIS, NamedSharding, P, make_mesh, shard_map)
+    DATA_AXIS, MODEL_AXIS, PIPE_AXIS, NamedSharding, P, make_mesh, shard_map)
 from vit_rpe_rope_tpu.train import train_step as ts
 
 
-def mesh3(data=2, seq=2, model=2):
-    return make_mesh(num_devices=data * seq * model, model_parallel=model,
-                     seq_parallel=seq)
+def mesh3(data=2, pipe=2, model=2):
+    return make_mesh(num_devices=data * pipe * model, model_parallel=model,
+                     pipe_parallel=pipe)
 
 
-def test_make_mesh_three_axes():
+def _prep(params, cfg):
+    return vit.stack_block_params(tp.prepare_tp_params(params, cfg), cfg)
+
+
+def test_make_mesh_pipe_axes():
     m = mesh3()
-    assert dict(m.shape) == {DATA_AXIS: 2, SEQ_AXIS: 2, MODEL_AXIS: 2}
-    # Lone CP still folds onto the 2-axis mesh (back-compat).
-    m2 = make_mesh(num_devices=4, seq_parallel=4)
+    assert dict(m.shape) == {DATA_AXIS: 2, PIPE_AXIS: 2, MODEL_AXIS: 2}
+    # Lone PP still folds onto the 2-axis mesh (back-compat: stages ride
+    # 'model' — fit() passes the stage count as model_parallel then).
+    m2 = make_mesh(num_devices=4, model_parallel=4)
     assert dict(m2.shape) == {DATA_AXIS: 1, MODEL_AXIS: 4}
+    with pytest.raises(ValueError, match="do not compose"):
+        make_mesh(num_devices=8, seq_parallel=2, pipe_parallel=2)
 
 
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
-def test_apply_tp_cp_matches_apply(pe):
-    """dp2 × seq2 × tp2 forward == the replicated forward for every PE mode
-    (heads sliced per model shard, tokens ring-sharded per seq shard,
-    bias generated per (head-shard, row-shard, kv-chunk))."""
+def test_apply_pp_tp_matches_apply(pe):
+    """dp2 × pipe2 × tp2 forward == the replicated forward for every PE mode
+    (one block per stage, heads sliced per model shard, 2 microbatches)."""
     cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
                     depth=2, num_heads=4, pos_encoding=pe,
                     attention_impl="reference")
@@ -47,20 +54,22 @@ def test_apply_tp_cp_matches_apply(pe):
     ref = vit.apply(params, x, cfg)
 
     mesh = mesh3()
-    prepped = tp.prepare_tp_params(params, cfg)
-    specs = tp.tp_param_specs(prepped, cfg)
-    fwd = shard_map(lambda p, xx: tp_cp.apply_tp_cp(p, xx, cfg), mesh,
-                    in_specs=(specs, P(DATA_AXIS)), out_specs=P(DATA_AXIS))
+    prepped = _prep(params, cfg)
+    specs = pp_tp.pp_tp_param_specs(prepped)
+    fwd = shard_map(lambda p, xx: pp_tp.apply_pp_tp(p, xx, cfg, n_micro=2),
+                    mesh, in_specs=(specs, P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS))
     out = jax.jit(fwd)(prepped, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("pe", ["relative", "rope-mixed"])
-def test_tp_cp_training_matches_dp(pe):
-    """A dp2 × seq2 × tp2 step must reproduce the 1-device DP trajectory —
-    grads psum over (data, seq) everywhere plus 'model' for the head-sliced
-    PE params, counting every (token, head) exactly once."""
+def test_pp_tp_training_matches_dp(pe):
+    """A dp2 × pipe2 × tp2 step must reproduce the 1-device DP trajectory —
+    block grads local to their (stage, model) shard, replicated-use grads
+    psum over 'pipe', head-sliced PE grads additionally over 'model',
+    counting every (block, head) contribution exactly once."""
     cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
                     depth=2, num_heads=4, pos_encoding=pe,
                     attention_impl="reference")
@@ -86,13 +95,12 @@ def test_tp_cp_training_matches_dp(pe):
     p_ref = jax.device_get(p)
 
     mesh = mesh3()
-    prepped = tp.prepare_tp_params(
-        vit.init_params(jax.random.PRNGKey(0), cfg), cfg)
-    specs = tp.tp_param_specs(prepped, cfg)
+    prepped = _prep(vit.init_params(jax.random.PRNGKey(0), cfg), cfg)
+    specs = pp_tp.pp_tp_param_specs(prepped)
     shardings = {kk: NamedSharding(mesh, s) for kk, s in specs.items()}
     p2 = jax.device_put(prepped, shardings)
     o2 = jax.jit(tx.init)(p2)
-    fn3 = ts.make_tp_cp_train_step(cfg, tcfg, mesh, tx, pre)
+    fn3 = ts.make_pp_tp_train_step(cfg, tcfg, mesh, tx, pre, n_micro=2)
     dx2 = jax.device_put(bundle.train_x, NamedSharding(mesh, P()))
     dy2 = jax.device_put(bundle.train_y, NamedSharding(mesh, P()))
     ei2 = jax.device_put(ei, NamedSharding(mesh, P(None, DATA_AXIS)))
@@ -103,7 +111,8 @@ def test_tp_cp_training_matches_dp(pe):
         losses_3.append(float(np.asarray(m)[0]))
     np.testing.assert_allclose(losses_3, losses_ref, rtol=1e-4)
     got = jax.device_get(jax.jit(
-        lambda pp: tp.restore_reference_params(pp, cfg),
+        lambda pp: tp.restore_reference_params(
+            vit.unstack_block_params(pp, cfg), cfg),
         out_shardings=NamedSharding(mesh, P()))(p2))
     for kk in p_ref:
         np.testing.assert_allclose(np.asarray(got[kk]),
@@ -111,24 +120,14 @@ def test_tp_cp_training_matches_dp(pe):
                                    rtol=1e-4, atol=1e-5, err_msg=kk)
 
 
-def test_config_accepts_tp_cp_rejects_pp_sp_combo():
-    TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
-    # PP × TP composes too (parallel/pp_tp.py — tests/test_pp_tp.py);
-    # only PP × SP has no mesh (4 axes would be needed).
-    TrainConfig(dataset="mnist", pipeline_parallel=2, model_parallel=2)
-    with pytest.raises(ValueError, match="do not compose"):
-        TrainConfig(dataset="mnist", pipeline_parallel=2,
-                    sequence_parallel=2)
-
-
-def test_fit_tp_cp_cli(tmp_path):
+def test_fit_pp_tp_cli(tmp_path):
     """The composed mode is reachable from the product surface: a CLI run
-    with --model_parallel 2 --sequence_parallel 2 on the 8-device mesh
-    (dp2 × seq2 × tp2) trains, evals (gathered reference-layout params),
-    and checkpoints with the reference key contract."""
+    with --pipeline_parallel 2 --model_parallel 2 on the 8-device mesh
+    (dp2 × pipe2 × tp2) trains, evals (gathered reference-layout params),
+    checkpoints with the reference key contract, and resumes."""
     from vit_rpe_rope_tpu.cli import train as cli_train
 
-    summary = cli_train.main([
+    base = [
         "--dataset", "mnist", "--pos_encoding", "relative",
         "--img_size", "16", "--patch_size", "4", "--embed_dim", "64",
         "--depth", "2", "--num_heads", "4",
@@ -136,12 +135,18 @@ def test_fit_tp_cp_cli(tmp_path):
         "--log_dir", str(tmp_path / "logs"),
         "--ckpt_dir", str(tmp_path / "ckpts"),
         "--attention_impl", "reference",
-        "--model_parallel", "2", "--sequence_parallel", "2"])
+        "--pipeline_parallel", "2", "--model_parallel", "2"]
+    summary = cli_train.main(base)
     assert summary["num_devices"] == 8
     assert summary["best_acc"] > 15.0
     ckpt = tmp_path / "ckpts" / "mnist_relative_best.npz"
     assert ckpt.exists()
     with np.load(ckpt) as z:
         keys = set(z.files)
+        assert z["blocks.0.attn.qkv.weight"].shape == (192, 64)
     assert "pos_embed.relative_position_bias_table" in keys
-    assert "blocks.0.attn.qkv.weight" in keys
+    assert "blocks.1.mlp.fc2.weight" in keys
+
+    summary2 = cli_train.main(base + ["--epochs", "2", "--resume"])
+    assert len(summary2["history"]) == 1
+    assert summary2["history"][0]["epoch"] == 2

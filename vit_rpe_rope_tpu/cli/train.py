@@ -109,9 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "3-axis data x seq x model mesh)")
     ext.add_argument("--pipeline_parallel", type=int, default=1,
                      help="[extension] pipeline-parallel degree: stage the "
-                          "transformer blocks over the mesh's 'model' axis "
-                          "with a GPipe microbatch schedule (must divide "
-                          "depth; mutually exclusive with --model_parallel/"
+                          "transformer blocks over a mesh axis with a GPipe "
+                          "microbatch schedule (must divide depth; composes "
+                          "with --model_parallel into a 3-axis data x pipe "
+                          "x model mesh; mutually exclusive with "
                           "--sequence_parallel)")
     ext.add_argument("--pp_microbatches", type=int, default=0,
                      help="[extension] microbatches per device batch under "

@@ -172,10 +172,10 @@ class TrainConfig:
     # model_parallel (3-axis data × seq × model mesh — parallel/tp_cp.py);
     # mutually exclusive with pipeline_parallel.
     sequence_parallel: int = 1
-    # Pipeline parallelism degree: stage the blocks over the mesh's 'model'
-    # axis with a GPipe microbatch schedule
-    # (parallel/pipeline_parallel.py). Mutually exclusive with
-    # model_parallel/sequence_parallel (same mesh axis).
+    # Pipeline parallelism degree: stage the blocks over a mesh axis with a
+    # GPipe microbatch schedule (parallel/pipeline_parallel.py). COMPOSES
+    # with model_parallel (3-axis data × pipe × model mesh —
+    # parallel/pp_tp.py); mutually exclusive with sequence_parallel.
     pipeline_parallel: int = 1
     # Microbatches per device batch under pipeline parallelism
     # (0 = auto: the stage count — the minimum that fills the pipe).
@@ -217,13 +217,13 @@ class TrainConfig:
             raise ValueError(
                 f"pp_microbatches must be >= 0 (0 = auto); got "
                 f"{self.pp_microbatches}")
-        if self.pipeline_parallel > 1 and (self.model_parallel > 1
-                                           or self.sequence_parallel > 1):
+        if self.pipeline_parallel > 1 and self.sequence_parallel > 1:
             raise ValueError(
-                "pipeline_parallel and model/sequence parallelism are "
-                "alternative uses of the mesh's 'model' axis — pick one "
-                "(model_parallel × sequence_parallel DO compose: 3-axis "
-                "data × seq × model mesh)")
+                "pipeline_parallel and sequence_parallel do not compose "
+                "(no 4-axis mesh) — pick one; each DOES compose with "
+                "model_parallel (3-axis data × seq × model mesh — "
+                "parallel/tp_cp.py — or data × pipe × model — "
+                "parallel/pp_tp.py)")
         if self.zero1 and (self.model_parallel > 1
                            or self.sequence_parallel > 1
                            or self.pipeline_parallel > 1):

@@ -16,13 +16,17 @@ ICI:
 * tp_cp.py              — TP × CP composed on a 3-axis
                           ('data', 'seq', 'model') mesh
                           (--model_parallel with --sequence_parallel)
+* pp_tp.py              — PP × TP composed on a 3-axis
+                          ('data', 'pipe', 'model') mesh
+                          (--pipeline_parallel with --model_parallel)
 
 Data parallelism (psum gradient all-reduce) and ZeRO-1 optimizer-state
 sharding live in train/train_step.py; gradient accumulation
 (--grad_accum) composes with DP/ZeRO-1 and with TP/CP/TP×CP. Every
-strategy composes with DP on the leading 'data' axis; TP and CP
-additionally compose with each other (tp_cp.py). PP claims the whole
-non-data axis — it composes with DP but not with TP/CP in one run.
+strategy composes with DP on the leading 'data' axis; TP additionally
+composes with CP (tp_cp.py — width × tokens) and with PP (pp_tp.py —
+depth × width). Only PP × CP has no composed mesh (it would need a
+4th axis); configs.py rejects that pair.
 
 Expert parallelism is deliberately ABSENT: the reference model family has no
 mixture-of-experts layer (a ViT with a dense MLP — /root/reference/models/

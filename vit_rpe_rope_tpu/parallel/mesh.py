@@ -18,17 +18,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
               model_parallel: int = 1, devices=None,
-              seq_parallel: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh — or, when BOTH seq_parallel > 1 and
-    model_parallel > 1, the 3-axis ('data', 'seq', 'model') mesh composing
-    sequence parallelism (KV ring over 'seq') with tensor parallelism
-    (head/MLP sharding over 'model'). 'model' is fastest-varying so TP's
-    two-psums-per-block ride adjacent ICI links; the seq ring hops at
-    stride TP (Megatron axis-ordering convention).
+              seq_parallel: int = 1, pipe_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh — or, when two non-data strategies
+    compose, a 3-axis mesh:
+
+      * seq_parallel > 1 AND model_parallel > 1 →
+        ('data', 'seq', 'model') — KV ring over 'seq' × Megatron sharding
+        over 'model' (parallel/tp_cp.py);
+      * pipe_parallel > 1 AND model_parallel > 1 →
+        ('data', 'pipe', 'model') — pipeline stages over 'pipe' × Megatron
+        sharding over 'model' (parallel/pp_tp.py).
+
+    'model' is fastest-varying so TP's two-psums-per-block ride adjacent
+    ICI links; the seq ring / pipeline shift hops at stride TP (Megatron
+    axis-ordering convention). A LONE seq or pipe strategy keeps the 2-axis
+    ('data', 'model') mesh with its shards on 'model' (the callers pass the
+    stage/shard count as model_parallel in that case).
 
     Uses as many devices as divide evenly into both the device count and the
     (per-step global) batch size, so every shard gets identical static shapes.
@@ -36,11 +46,15 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     n = min(n, len(devices))
-    model_total = model_parallel * seq_parallel
+    if seq_parallel > 1 and pipe_parallel > 1:
+        raise ValueError("seq_parallel and pipe_parallel do not compose "
+                         "(no 4-axis mesh); pick one of tp×cp / pp×tp")
+    model_total = model_parallel * seq_parallel * pipe_parallel
     if n % model_total != 0:
         raise ValueError(
             f"device count {n} not divisible by model_parallel="
-            f"{model_parallel} × seq_parallel={seq_parallel}")
+            f"{model_parallel} × seq_parallel={seq_parallel} × "
+            f"pipe_parallel={pipe_parallel}")
     n_data = n // model_total
     if batch_size is not None:
         n_data = math.gcd(n_data, batch_size)
@@ -58,6 +72,10 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
         arr = np.array(devices[:n_use]).reshape(n_data, seq_parallel,
                                                 model_parallel)
         return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    if pipe_parallel > 1 and model_parallel > 1:
+        arr = np.array(devices[:n_use]).reshape(n_data, pipe_parallel,
+                                                model_parallel)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.array(devices[:n_use]).reshape(n_data, model_total)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

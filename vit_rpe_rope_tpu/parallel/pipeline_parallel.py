@@ -54,6 +54,62 @@ def pp_param_specs(stacked: dict) -> dict:
             for k in stacked}
 
 
+def pipeline_schedule(x_emb, stage_blocks, n_micro: int, axis_name: str):
+    """The GPipe tick scan, shared by apply_pp and parallel/pp_tp.apply_pp_tp.
+
+    x_emb [B, N, E]: the full-batch embedding, computed redundantly on every
+    stage (only stage 0's slice enters the pipeline, so only stage 0
+    back-propagates into the embedding params). stage_blocks(x) applies this
+    stage's blocks to one microbatch activation [mb, N, E]. Returns the last
+    stage's collected outputs [B, N, E] (garbage on other stages — the
+    caller masks + psums its head logits over `axis_name`)."""
+    n_stages = jax.lax.psum(1, axis_name)  # static axis size
+    my = jax.lax.axis_index(axis_name)
+    bsz, n_tokens, embed_dim = x_emb.shape
+    assert bsz % n_micro == 0, (bsz, n_micro)
+    mb = bsz // n_micro
+    dtype = x_emb.dtype
+
+    t_total = n_micro + n_stages - 1
+    # Non-cyclic shift: stage s sends to s+1; stage 0 receives zeros (unused —
+    # jnp.where picks the fresh embedding there).
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def tick(carry, t):
+        recv, out_buf = carry
+        # Microbatch entering stage 0 this tick (clipped re-reads during
+        # warm-down ticks produce outputs that fall outside the last stage's
+        # keep window — zero cotangent, no double-counting).
+        m_in = jnp.clip(t, 0, n_micro - 1)
+        emb_t = jax.lax.dynamic_slice_in_dim(x_emb, m_in * mb, mb, axis=0)
+        x_in = jnp.where(my == 0, emb_t, recv)
+        # Stage s is ACTIVE only for ticks [s, s + n_micro): outside that
+        # window it would process bubble garbage (clipped re-reads /
+        # uninitialized recv) whose outputs nothing keeps. Gate the block
+        # stack with lax.cond so the GPipe bubble costs ~no MXU work —
+        # safe because an inactive tick's output feeds only the next
+        # stage's inactive tick (t+1 ∉ [s+1, s+1+n_micro)) and carries zero
+        # cotangent (ADVICE r2: (S-1) wasted stage-forwards per step).
+        active = (t >= my) & (t < my + n_micro)
+        y = jax.lax.cond(active, stage_blocks, jnp.zeros_like, x_in)
+        # Last stage collects microbatch t-(S-1) once it has traversed every
+        # stage; earlier ticks re-write slot 0 with a discarded value.
+        m_out = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+        slot = jax.lax.dynamic_slice_in_dim(out_buf, m_out, 1, axis=0)
+        keep = (t >= n_stages - 1) & (my == n_stages - 1)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, jnp.where(keep, y[None], slot), m_out, axis=0)
+        if perm:
+            recv = jax.lax.ppermute(y, axis_name, perm)
+        return (recv, out_buf), None
+
+    init = (jnp.zeros((mb, n_tokens, embed_dim), dtype),
+            jnp.zeros((n_micro, mb, n_tokens, embed_dim), dtype))
+    (_, out_buf), _ = jax.lax.scan(
+        tick, init, jnp.arange(t_total), length=t_total)
+    return out_buf.reshape(bsz, n_tokens, embed_dim)
+
+
 def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
              axis_name: str = MODEL_AXIS):
     """Pipeline-parallel forward: same contract as models.vit.apply_stacked,
@@ -72,8 +128,6 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
     impl = _attention_impl(cfg)
 
     bsz = images.shape[0]
-    assert bsz % n_micro == 0, (bsz, n_micro)
-    mb = bsz // n_micro
     blocks_local = stacked["blocks.norm1.weight"].shape[0]  # depth / S
 
     # PE generators: replicated params -> identical values on every stage;
@@ -108,48 +162,10 @@ def apply_pp(stacked: dict, images, cfg: ViTConfig, n_micro: int,
             x = block_fn(block_params, x, cfg, bias, freqs_cis, impl)
         return x
 
-    n_tokens = cfg.seq_len
-    t_total = n_micro + n_stages - 1
-    # Non-cyclic shift: stage s sends to s+1; stage 0 receives zeros (unused —
-    # jnp.where picks the fresh embedding there).
-    perm = [(i, i + 1) for i in range(n_stages - 1)]
-
-    def tick(carry, t):
-        recv, out_buf = carry
-        # Microbatch entering stage 0 this tick (clipped re-reads during
-        # warm-down ticks produce outputs that fall outside the last stage's
-        # keep window — zero cotangent, no double-counting).
-        m_in = jnp.clip(t, 0, n_micro - 1)
-        emb_t = jax.lax.dynamic_slice_in_dim(x_emb, m_in * mb, mb, axis=0)
-        x_in = jnp.where(my == 0, emb_t, recv)
-        # Stage s is ACTIVE only for ticks [s, s + n_micro): outside that
-        # window it would process bubble garbage (clipped re-reads /
-        # uninitialized recv) whose outputs nothing keeps. Gate the block
-        # stack with lax.cond so the GPipe bubble costs ~no MXU work —
-        # safe because an inactive tick's output feeds only the next
-        # stage's inactive tick (t+1 ∉ [s+1, s+1+n_micro)) and carries zero
-        # cotangent (ADVICE r2: (S-1) wasted stage-forwards per step).
-        active = (t >= my) & (t < my + n_micro)
-        y = jax.lax.cond(active, stage_blocks, jnp.zeros_like, x_in)
-        # Last stage collects microbatch t-(S-1) once it has traversed every
-        # stage; earlier ticks re-write slot 0 with a discarded value.
-        m_out = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
-        slot = jax.lax.dynamic_slice_in_dim(out_buf, m_out, 1, axis=0)
-        keep = (t >= n_stages - 1) & (my == n_stages - 1)
-        out_buf = jax.lax.dynamic_update_slice_in_dim(
-            out_buf, jnp.where(keep, y[None], slot), m_out, axis=0)
-        if perm:
-            recv = jax.lax.ppermute(y, axis_name, perm)
-        return (recv, out_buf), None
-
-    init = (jnp.zeros((mb, n_tokens, cfg.embed_dim), dtype),
-            jnp.zeros((n_micro, mb, n_tokens, cfg.embed_dim), dtype))
-    (_, out_buf), _ = jax.lax.scan(
-        tick, init, jnp.arange(t_total), length=t_total)
+    x = pipeline_schedule(x_emb, stage_blocks, n_micro, axis_name)
 
     # Classifier on the last stage's collected outputs; masked partial-sum
     # psum re-replicates the logits across stages.
-    x = out_buf.reshape(bsz, n_tokens, cfg.embed_dim)
     x = _layer_norm(x, stacked["norm.weight"], stacked["norm.bias"],
                     cfg.layer_norm_eps)
     logits = _linear(x[:, 0], stacked["head.weight"], stacked["head.bias"])

@@ -103,28 +103,33 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     bundle = datasets.get_dataset(
         tcfg.dataset, tcfg.data_dir, tcfg.synthetic_data, tcfg.seed)
-    # TP and CP COMPOSE on a 3-axis ('data', 'seq', 'model') mesh
-    # (parallel/tp_cp.py); PP is an alternative use of the 'model' axis
-    # (configs.py rejects combining it). A lone CP run keeps the 2-axis
-    # mesh with tokens on 'model' (make_mesh folds seq into it).
+    # TP COMPOSES with CP on a 3-axis ('data', 'seq', 'model') mesh
+    # (parallel/tp_cp.py) and with PP on ('data', 'pipe', 'model')
+    # (parallel/pp_tp.py); CP and PP do not compose (configs.py rejects
+    # it). A lone CP or PP run keeps the 2-axis mesh with its shards on
+    # 'model' (make_mesh folds them into it).
     # Bounded-program stepping (q_chunk > 0) is a single-device driver:
     # it pins a 1-device mesh (configs.py already rejects combining it
     # with the parallelism knobs).
     use_bounded = tcfg.q_chunk > 0
+    use_pptp = tcfg.pipeline_parallel > 1 and tcfg.model_parallel > 1
     mesh = make_mesh(batch_size=tcfg.batch_size,
                      num_devices=1 if use_bounded else None,
-                     model_parallel=max(tcfg.model_parallel,
-                                        tcfg.pipeline_parallel),
-                     seq_parallel=tcfg.sequence_parallel)
+                     model_parallel=(tcfg.model_parallel if use_pptp
+                                     else max(tcfg.model_parallel,
+                                              tcfg.pipeline_parallel)),
+                     seq_parallel=tcfg.sequence_parallel,
+                     pipe_parallel=(tcfg.pipeline_parallel
+                                    if use_pptp else 1))
     use_tpcp = tcfg.model_parallel > 1 and tcfg.sequence_parallel > 1
-    use_tp = tcfg.model_parallel > 1 and not use_tpcp
+    use_tp = tcfg.model_parallel > 1 and not (use_tpcp or use_pptp)
     use_cp = tcfg.sequence_parallel > 1 and not use_tpcp
-    use_pp = tcfg.pipeline_parallel > 1
-    if (use_cp or use_pp or use_tpcp) and cfg.has_dropout:
+    use_pp = tcfg.pipeline_parallel > 1 and not use_pptp
+    if (use_cp or use_pp or use_tpcp or use_pptp) and cfg.has_dropout:
         raise ValueError("sequence_parallel/pipeline_parallel do not support "
                          "dropout rates > 0")
     n_micro = tcfg.pp_microbatches or tcfg.pipeline_parallel
-    if use_pp:
+    if use_pp or use_pptp:
         if cfg.depth % tcfg.pipeline_parallel != 0:
             raise ValueError(
                 f"pipeline_parallel={tcfg.pipeline_parallel} must divide "
@@ -142,7 +147,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             f"(the dropout mask lives on them), so at seq_len={cfg.seq_len} "
             "the streaming flash path is bypassed and each block allocates "
             "O(B*H*N^2) memory", stacklevel=2)
-    if (use_tp or use_tpcp) and cfg.num_heads % tcfg.model_parallel != 0:
+    if ((use_tp or use_tpcp or use_pptp)
+            and cfg.num_heads % tcfg.model_parallel != 0):
         raise ValueError(
             f"model_parallel={tcfg.model_parallel} must divide "
             f"num_heads={cfg.num_heads}")
@@ -156,7 +162,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # Index ROWS per epoch (one row = one batch of batch_size examples);
     # grad_accum > 1 folds `accum` consecutive rows into one optimizer step.
     accum = tcfg.grad_accum
-    if accum > 1 and use_pp:
+    if accum > 1 and (use_pp or use_pptp):
         raise ValueError("grad_accum > 1 is not supported with pipeline "
                          "parallelism (use --pp_microbatches — PP already "
                          "microbatches within the step)")
@@ -191,7 +197,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # rides the flat driver (it shards the flat moment vectors).
     use_flat = ((k > 1 or tcfg.zero1 or accum > 1)
                 and not use_tp and not use_cp and not use_pp
-                and not use_tpcp and not use_bounded)
+                and not use_tpcp and not use_pptp and not use_bounded)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -199,7 +205,29 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
     unflatten_j = jax.jit(
         lambda v: vit.unstack_block_params(flattener.unflatten(v), cfg))
-    if use_tp or use_tpcp:
+    if use_pptp:
+        # PP×TP: train state is the depth-stacked dict of the TP-prepared
+        # layout — "blocks.X" leaves sharded over 'pipe' (dim 0) and their
+        # TP dim over 'model' (parallel/pp_tp.py); eval/checkpoints see the
+        # reference layout via gather_j (all-gather + unstack + un-reshape
+        # on device).
+        from vit_rpe_rope_tpu.parallel import pp_tp
+
+        pptp_specs = pp_tp.pp_tp_param_specs(
+            vit.stack_block_params(tp.prepare_tp_params(params, cfg), cfg))
+        pptp_shardings = {kk: NamedSharding(mesh, s)
+                          for kk, s in pptp_specs.items()}
+        prepare_j = jax.jit(
+            lambda p: vit.stack_block_params(tp.prepare_tp_params(p, cfg),
+                                             cfg),
+            out_shardings=pptp_shardings)
+        gather_j = jax.jit(
+            lambda p: tp.restore_reference_params(
+                vit.unstack_block_params(p, cfg), cfg),
+            out_shardings=replicated)
+        train_params = prepare_j(params)
+        opt_state = jax.jit(tx.init)(train_params)  # inherits the shardings
+    elif use_tp or use_tpcp:
         # Tensor parallelism: heads/MLP-hidden sharded over 'model'
         # (parallel/tensor_parallel.py). Train state lives in TP layout on
         # the mesh; eval/checkpoints see the reference layout via gather_j
@@ -252,12 +280,12 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     def opt_to_disk(o):
         o = jax.device_get(o)
-        if use_tp or use_tpcp:
-            o = tp.restore_reference_opt_state(o, cfg)
-        if use_pp:  # stacked moment dicts -> reference-keyed dicts
+        if use_pp or use_pptp:  # stacked moment dicts -> reference-keyed
             o = jax.tree_util.tree_map(
                 lambda n: vit.unstack_block_params(n, cfg)
                 if isinstance(n, dict) else n, o, is_leaf=is_dict_node)
+        if use_tp or use_tpcp or use_pptp:
+            o = tp.restore_reference_opt_state(o, cfg)
         o = jax.tree_util.tree_map(
             lambda n: np.asarray(flatten_j(n)) if isinstance(n, dict) else n,
             o, is_leaf=is_dict_node)
@@ -282,6 +310,16 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             lambda l: unflatten_j(l)
             if getattr(l, "ndim", 0) == 1 and l.shape[0] == flattener.total
             else l, o)
+        if use_pptp:
+            o = tp.prepare_tp_opt_state(o, cfg)  # qkv moments -> [3,H,Dh,E]
+            o = jax.tree_util.tree_map(
+                lambda n: vit.stack_block_params(n, cfg)
+                if isinstance(n, dict) else n, o, is_leaf=is_dict_node)
+            opt_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                ts.opt_specs_like(o, pptp_specs),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            return jax.device_put(o, opt_shardings)
         if use_tp or use_tpcp:
             opt_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s),
@@ -307,7 +345,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             checkpoint.load_train_state(last_path, opt_to_disk(opt_state))
         params = jax.device_put(params, replicated)
         opt_state = opt_from_disk(opt_loaded)
-        if use_tp or use_pp or use_tpcp:
+        if use_tp or use_pp or use_tpcp or use_pptp:
             train_params = prepare_j(params)
         else:
             train_params = flatten_j(params) if use_flat else params
@@ -315,7 +353,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    if use_tpcp:
+    if use_pptp:
+        train_fn = ts.make_pp_tp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_tpcp:
         train_fn = ts.make_tp_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
@@ -396,7 +438,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
                            train_y, epoch_idx, "Training", True, k=stride,
                            epoch=epoch)
-            if use_tp or use_pp or use_tpcp:
+            if use_tp or use_pp or use_tpcp or use_pptp:
                 params = gather_j(train_params)
             else:
                 params = unflatten_j(train_params) if use_flat else train_params
