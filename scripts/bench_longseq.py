@@ -57,7 +57,8 @@ CONFIGS = {
 
 
 def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
-        q_chunk: int = 0, kv_chunk: int = 0) -> dict:
+        q_chunk: int = 0, kv_chunk: int = 0,
+        force_ring: bool = False) -> dict:
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -79,7 +80,8 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
     batch = spec["batch"]
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
     if q_chunk:
-        return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk)
+        return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk,
+                            force_ring)
     mesh = make_mesh(batch_size=batch, num_devices=1)
     rep = NamedSharding(mesh, P())
 
@@ -117,7 +119,8 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
                 loss=round(float(np.asarray(m)[0]), 4))
 
 
-def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0):
+def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
+                 force_ring=False):
     """Bounded-program stepping (train/bounded.py): the same step as MANY
     short programs — each attention program covers q_chunk query rows —
     for environments with a per-program execution deadline (this machine's
@@ -139,8 +142,18 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0):
     labels = jnp.asarray((np.arange(batch) % 10).astype(np.int32))
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     opt = tx.init(params)
+    mesh = None
+    if force_ring:
+        # Run the SPMD ring code path (shard_map + in-program lax.scan KV
+        # ring + identity ppermute + dparam psum) on a 1-device mesh — the
+        # hardware-validation knob for the bounded × seq composition when
+        # only one real chip exists (a 1-device ring is numerically exact).
+        from vit_rpe_rope_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(batch_size=batch, num_devices=1)
     step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk,
-                             kv_chunk=kv_chunk)
+                             kv_chunk=kv_chunk, mesh=mesh,
+                             force_ring=force_ring)
 
     t_c0 = time.perf_counter()
     params, opt, m = step(params, opt, jnp.asarray([0], jnp.int32),
@@ -155,8 +168,9 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0):
                               imgs, labels)
     m.block_until_ready()
     dt = (time.perf_counter() - t0) / steps
-    return dict(pe=pe, n=n, impl="bounded", batch=batch,
-                q_chunk=q_chunk, kv_chunk=kv_chunk,
+    return dict(pe=pe, n=n,
+                impl="bounded-ring" if force_ring else "bounded",
+                batch=batch, q_chunk=q_chunk, kv_chunk=kv_chunk,
                 n_programs_attn=step.n_chunks,
                 step_s=round(dt, 4), compile_s=round(compile_s, 1),
                 loss=round(float(np.asarray(m)[0]), 4))
@@ -179,6 +193,10 @@ def main():
     ap.add_argument("--kv_chunk", type=int, default=0,
                     help="bounded backward: also segment the key axis "
                          "(bounds dk/dv residency; needed at N=2M)")
+    ap.add_argument("--force_ring", action="store_true",
+                    help="run the bounded driver's SPMD KV-ring code path "
+                         "on a 1-device mesh (hardware validation of the "
+                         "bounded × seq composition on one chip)")
     args = ap.parse_args()
     for n in args.n:
         for pe in args.pe:
@@ -187,7 +205,8 @@ def main():
                                  else bool(args.remat),
                                  dtype=args.dtype,
                                  q_chunk=args.q_chunk,
-                                 kv_chunk=args.kv_chunk)), flush=True)
+                                 kv_chunk=args.kv_chunk,
+                                 force_ring=args.force_ring)), flush=True)
 
 
 if __name__ == "__main__":
