@@ -144,7 +144,9 @@ def test_fit_routes_through_bounded_driver(tmp_path, monkeypatch):
                        synthetic_data=True, q_chunk=512, save_last=False,
                        log_dir=str(tmp_path), ckpt_dir=str(tmp_path))
     summary = fit(cfg, tcfg, verbose=False)
-    assert summary["num_devices"] == 1
+    # Round 4: q_chunk composes with data parallelism — on the 8-device
+    # test mesh the bounded driver now runs dp8 (1-hop KV ring per chunk).
+    assert summary["num_devices"] == 8
     hist = summary["history"]
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
     assert 0.0 <= hist[0]["test_acc"] <= 100.0

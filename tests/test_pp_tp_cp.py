@@ -1,9 +1,9 @@
-"""Composed 3-axis parallelism (data × pipe × model — parallel/pp_tp.py):
-forward parity vs the replicated model for every PE mode, training
-trajectory parity vs plain DP, and the product surface (config + CLI).
-The reference has no distribution layer (SURVEY.md §2 #20); this is the
-depth×width composition of the PP and TP extensions (tp_cp.py is the
-width×tokens one)."""
+"""Composed 4-axis parallelism (data × pipe × seq × model —
+parallel/pp_tp_cp.py): forward parity vs the replicated model for every PE
+mode, training trajectory parity vs plain DP on both dp2×pipe2×seq2 (lone
+PP×CP, 'model' size 1) and pipe2×seq2×tp2, and the product surface (CLI).
+The reference has no distribution layer (SURVEY.md §2 #20); this closes the
+composition matrix the 3-axis modules (tp_cp.py, pp_tp.py) left open."""
 
 import jax
 import jax.numpy as jnp
@@ -14,15 +14,17 @@ import pytest
 from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
 from vit_rpe_rope_tpu.data import datasets
 from vit_rpe_rope_tpu.models import vit
-from vit_rpe_rope_tpu.parallel import pp_tp
+from vit_rpe_rope_tpu.parallel import pp_tp, pp_tp_cp
 from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
 from vit_rpe_rope_tpu.parallel.mesh import (
-    DATA_AXIS, MODEL_AXIS, PIPE_AXIS, NamedSharding, P, make_mesh, shard_map)
+    DATA_AXIS, MODEL_AXIS, PIPE_AXIS, SEQ_AXIS, NamedSharding, P, make_mesh,
+    shard_map)
 from vit_rpe_rope_tpu.train import train_step as ts
 
 
-def mesh3(data=2, pipe=2, model=2):
-    return make_mesh(num_devices=data * pipe * model, model_parallel=model,
+def mesh4(data=1, pipe=2, seq=2, model=2):
+    return make_mesh(num_devices=data * pipe * seq * model,
+                     model_parallel=model, seq_parallel=seq,
                      pipe_parallel=pipe)
 
 
@@ -30,22 +32,21 @@ def _prep(params, cfg):
     return vit.stack_block_params(tp.prepare_tp_params(params, cfg), cfg)
 
 
-def test_make_mesh_pipe_axes():
-    m = mesh3()
-    assert dict(m.shape) == {DATA_AXIS: 2, PIPE_AXIS: 2, MODEL_AXIS: 2}
-    # Lone PP still folds onto the 2-axis mesh (back-compat: stages ride
-    # 'model' — fit() passes the stage count as model_parallel then).
-    m2 = make_mesh(num_devices=4, model_parallel=4)
-    assert dict(m2.shape) == {DATA_AXIS: 1, MODEL_AXIS: 4}
-    # seq × pipe now composes on the 4-axis mesh (round 4 —
-    # parallel/pp_tp_cp.py; tests/test_pp_tp_cp.py covers it).
+def test_make_mesh_4axis():
+    m = mesh4()
+    assert dict(m.shape) == {DATA_AXIS: 1, PIPE_AXIS: 2, SEQ_AXIS: 2,
+                             MODEL_AXIS: 2}
+    m2 = make_mesh(num_devices=8, seq_parallel=2, pipe_parallel=2)
+    assert dict(m2.shape) == {DATA_AXIS: 2, PIPE_AXIS: 2, SEQ_AXIS: 2,
+                              MODEL_AXIS: 1}
 
 
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
-def test_apply_pp_tp_matches_apply(pe):
-    """dp2 × pipe2 × tp2 forward == the replicated forward for every PE mode
-    (one block per stage, heads sliced per model shard, 2 microbatches)."""
+def test_apply_pp_tp_cp_matches_apply(pe):
+    """pipe2 × seq2 × tp2 forward == the replicated forward for every PE
+    mode (one block per stage, heads per model shard, tokens per seq shard,
+    2 microbatches)."""
     cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
                     depth=2, num_heads=4, pos_encoding=pe,
                     attention_impl="reference")
@@ -53,23 +54,49 @@ def test_apply_pp_tp_matches_apply(pe):
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 1))
     ref = vit.apply(params, x, cfg)
 
-    mesh = mesh3()
+    mesh = mesh4()
     prepped = _prep(params, cfg)
     specs = pp_tp.pp_tp_param_specs(prepped)
-    fwd = shard_map(lambda p, xx: pp_tp.apply_pp_tp(p, xx, cfg, n_micro=2),
-                    mesh, in_specs=(specs, P(DATA_AXIS)),
-                    out_specs=P(DATA_AXIS))
+    fwd = shard_map(
+        lambda p, xx: pp_tp_cp.apply_pp_tp_cp(p, xx, cfg, n_micro=2),
+        mesh, in_specs=(specs, P(DATA_AXIS)), out_specs=P(DATA_AXIS))
     out = jax.jit(fwd)(prepped, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("pe", ["relative", "rope-mixed"])
-def test_pp_tp_training_matches_dp(pe):
-    """A dp2 × pipe2 × tp2 step must reproduce the 1-device DP trajectory —
-    block grads local to their (stage, model) shard, replicated-use grads
-    psum over 'pipe', head-sliced PE grads additionally over 'model',
-    counting every (block, head) contribution exactly once."""
+def test_apply_pp_cp_without_tp():
+    """The same module is the lone PP×CP driver when 'model' is size 1 (the
+    Megatron psums degrade to no-ops): dp2 × pipe2 × seq2 forward parity."""
+    cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
+                    depth=2, num_heads=4, pos_encoding="polynomial",
+                    attention_impl="reference")
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    ref = vit.apply(params, x, cfg)
+
+    mesh = mesh4(data=2, pipe=2, seq=2, model=1)
+    prepped = _prep(params, cfg)
+    specs = pp_tp.pp_tp_param_specs(prepped)
+    fwd = shard_map(
+        lambda p, xx: pp_tp_cp.apply_pp_tp_cp(p, xx, cfg, n_micro=2),
+        mesh, in_specs=(specs, P(DATA_AXIS)), out_specs=P(DATA_AXIS))
+    out = jax.jit(fwd)(prepped, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape,pe", [
+    ((2, 2, 2, 1), "relative"),    # dp2 × pipe2 × seq2 — the PP×CP ask
+    ((1, 2, 2, 2), "rope-mixed"),  # pipe2 × seq2 × tp2 — all model axes
+])
+def test_pp_tp_cp_training_matches_dp(mesh_shape, pe):
+    """A 4-axis step must reproduce the 1-device DP trajectory — block grads
+    local to their (stage, model) shard, every grad psum over
+    ('data', 'seq'), replicated-use grads additionally over 'pipe',
+    head-sliced PE grads additionally over 'model', each contribution
+    counted exactly once."""
+    data, pipe, seq, model = mesh_shape
     cfg = ViTConfig(img_size=16, patch_size=4, in_chans=1, embed_dim=64,
                     depth=2, num_heads=4, pos_encoding=pe,
                     attention_impl="reference")
@@ -94,22 +121,22 @@ def test_pp_tp_training_matches_dp(pe):
         losses_ref.append(float(np.asarray(m)[0]))
     p_ref = jax.device_get(p)
 
-    mesh = mesh3()
+    mesh = mesh4(data, pipe, seq, model)
     prepped = _prep(vit.init_params(jax.random.PRNGKey(0), cfg), cfg)
     specs = pp_tp.pp_tp_param_specs(prepped)
     shardings = {kk: NamedSharding(mesh, s) for kk, s in specs.items()}
     p2 = jax.device_put(prepped, shardings)
     o2 = jax.jit(tx.init)(p2)
-    fn3 = ts.make_pp_tp_train_step(cfg, tcfg, mesh, tx, pre, n_micro=2)
+    fn4 = ts.make_pp_tp_cp_train_step(cfg, tcfg, mesh, tx, pre, n_micro=2)
     dx2 = jax.device_put(bundle.train_x, NamedSharding(mesh, P()))
     dy2 = jax.device_put(bundle.train_y, NamedSharding(mesh, P()))
     ei2 = jax.device_put(ei, NamedSharding(mesh, P(None, DATA_AXIS)))
-    losses_3 = []
+    losses_4 = []
     for s in range(3):
-        p2, o2, m = fn3(p2, o2, jnp.asarray([s], jnp.int32), dx2, dy2, ei2)
+        p2, o2, m = fn4(p2, o2, jnp.asarray([s], jnp.int32), dx2, dy2, ei2)
         m.block_until_ready()
-        losses_3.append(float(np.asarray(m)[0]))
-    np.testing.assert_allclose(losses_3, losses_ref, rtol=1e-4)
+        losses_4.append(float(np.asarray(m)[0]))
+    np.testing.assert_allclose(losses_4, losses_ref, rtol=1e-4)
     got = jax.device_get(jax.jit(
         lambda pp: tp.restore_reference_params(
             vit.unstack_block_params(pp, cfg), cfg),
@@ -120,11 +147,11 @@ def test_pp_tp_training_matches_dp(pe):
                                    rtol=1e-4, atol=1e-5, err_msg=kk)
 
 
-def test_fit_pp_tp_cli(tmp_path):
-    """The composed mode is reachable from the product surface: a CLI run
-    with --pipeline_parallel 2 --model_parallel 2 on the 8-device mesh
-    (dp2 × pipe2 × tp2) trains, evals (gathered reference-layout params),
-    checkpoints with the reference key contract, and resumes."""
+def test_fit_pp_cp_cli(tmp_path):
+    """The 4-axis mode is reachable from the product surface: a CLI run with
+    --pipeline_parallel 2 --sequence_parallel 2 on the 8-device mesh
+    (dp2 × pipe2 × seq2 × model1) trains, evals, checkpoints with the
+    reference key contract, and resumes."""
     from vit_rpe_rope_tpu.cli import train as cli_train
 
     base = [
@@ -135,7 +162,7 @@ def test_fit_pp_tp_cli(tmp_path):
         "--log_dir", str(tmp_path / "logs"),
         "--ckpt_dir", str(tmp_path / "ckpts"),
         "--attention_impl", "reference",
-        "--pipeline_parallel", "2", "--model_parallel", "2"]
+        "--pipeline_parallel", "2", "--sequence_parallel", "2"]
     summary = cli_train.main(base)
     assert summary["num_devices"] == 8
     assert summary["best_acc"] > 15.0
@@ -145,7 +172,6 @@ def test_fit_pp_tp_cli(tmp_path):
         keys = set(z.files)
         assert z["blocks.0.attn.qkv.weight"].shape == (192, 64)
     assert "pos_embed.relative_position_bias_table" in keys
-    assert "blocks.1.mlp.fc2.weight" in keys
 
     summary2 = cli_train.main(base + ["--epochs", "2", "--resume"])
     assert len(summary2["history"]) == 1

@@ -217,13 +217,6 @@ class TrainConfig:
             raise ValueError(
                 f"pp_microbatches must be >= 0 (0 = auto); got "
                 f"{self.pp_microbatches}")
-        if self.pipeline_parallel > 1 and self.sequence_parallel > 1:
-            raise ValueError(
-                "pipeline_parallel and sequence_parallel do not compose "
-                "(no 4-axis mesh) — pick one; each DOES compose with "
-                "model_parallel (3-axis data × seq × model mesh — "
-                "parallel/tp_cp.py — or data × pipe × model — "
-                "parallel/pp_tp.py)")
         if self.zero1 and (self.model_parallel > 1
                            or self.sequence_parallel > 1
                            or self.pipeline_parallel > 1):
@@ -239,14 +232,20 @@ class TrainConfig:
             raise ValueError("kv_chunk requires q_chunk > 0 "
                              "(bounded-program stepping)")
         if self.q_chunk > 0 and (self.model_parallel > 1
-                                 or self.sequence_parallel > 1
                                  or self.pipeline_parallel > 1
                                  or self.zero1 or self.grad_accum > 1
                                  or self.augment):
             raise ValueError(
-                "q_chunk (bounded-program stepping) is a single-device "
-                "driver: incompatible with model/sequence/pipeline "
-                "parallelism, zero1, grad_accum > 1, and augment")
+                "q_chunk (bounded-program stepping) composes with data and "
+                "sequence parallelism (the per-chunk programs run a KV ring "
+                "over the mesh — train/bounded.py) but not with model/"
+                "pipeline parallelism, zero1, grad_accum > 1, or augment")
+        if self.q_chunk > 0 and self.kv_chunk > 0 \
+                and self.sequence_parallel > 1:
+            raise ValueError(
+                "kv_chunk does not compose with sequence_parallel: the KV "
+                "ring already bounds backward kv residency by the shard "
+                "size N/R")
 
     @property
     def in_chans(self) -> int:

@@ -24,21 +24,26 @@ PIPE_AXIS = "pipe"
 def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
               model_parallel: int = 1, devices=None,
               seq_parallel: int = 1, pipe_parallel: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh — or, when two non-data strategies
-    compose, a 3-axis mesh:
+    """Build a ('data', 'model') mesh — or, when non-data strategies
+    compose, a 3- or 4-axis mesh:
 
       * seq_parallel > 1 AND model_parallel > 1 →
         ('data', 'seq', 'model') — KV ring over 'seq' × Megatron sharding
         over 'model' (parallel/tp_cp.py);
       * pipe_parallel > 1 AND model_parallel > 1 →
         ('data', 'pipe', 'model') — pipeline stages over 'pipe' × Megatron
-        sharding over 'model' (parallel/pp_tp.py).
+        sharding over 'model' (parallel/pp_tp.py);
+      * pipe_parallel > 1 AND seq_parallel > 1 →
+        ('data', 'pipe', 'seq', 'model') — the full 4-axis composition
+        (parallel/pp_tp_cp.py), with 'model' possibly size 1 (lone PP×CP).
 
     'model' is fastest-varying so TP's two-psums-per-block ride adjacent
-    ICI links; the seq ring / pipeline shift hops at stride TP (Megatron
-    axis-ordering convention). A LONE seq or pipe strategy keeps the 2-axis
-    ('data', 'model') mesh with its shards on 'model' (the callers pass the
-    stage/shard count as model_parallel in that case).
+    ICI links; the seq ring hops at stride TP, and the pipeline's
+    once-per-tick shift crosses the slowest links (Megatron axis-ordering
+    convention — collective frequency matched to link speed). A LONE seq or
+    pipe strategy keeps the 2-axis ('data', 'model') mesh with its shards
+    on 'model' (the callers pass the stage/shard count as model_parallel in
+    that case).
 
     Uses as many devices as divide evenly into both the device count and the
     (per-step global) batch size, so every shard gets identical static shapes.
@@ -46,9 +51,6 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     n = min(n, len(devices))
-    if seq_parallel > 1 and pipe_parallel > 1:
-        raise ValueError("seq_parallel and pipe_parallel do not compose "
-                         "(no 4-axis mesh); pick one of tp×cp / pp×tp")
     model_total = model_parallel * seq_parallel * pipe_parallel
     if n % model_total != 0:
         raise ValueError(
@@ -68,6 +70,10 @@ def make_mesh(batch_size: int | None = None, num_devices: int | None = None,
             f"-way data axis (shards need identical static shapes). Pick a "
             f"batch size divisible by the device count to use all devices.",
             stacklevel=2)
+    if seq_parallel > 1 and pipe_parallel > 1:
+        arr = np.array(devices[:n_use]).reshape(
+            n_data, pipe_parallel, seq_parallel, model_parallel)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, SEQ_AXIS, MODEL_AXIS))
     if seq_parallel > 1 and model_parallel > 1:
         arr = np.array(devices[:n_use]).reshape(n_data, seq_parallel,
                                                 model_parallel)

@@ -54,15 +54,25 @@ def pp_param_specs(stacked: dict) -> dict:
             for k in stacked}
 
 
-def pipeline_schedule(x_emb, stage_blocks, n_micro: int, axis_name: str):
-    """The GPipe tick scan, shared by apply_pp and parallel/pp_tp.apply_pp_tp.
+def pipeline_schedule(x_emb, stage_blocks, n_micro: int, axis_name: str,
+                      gate_bubbles: bool = True):
+    """The GPipe tick scan, shared by apply_pp, pp_tp.apply_pp_tp, and
+    pp_tp_cp.apply_pp_tp_cp.
 
     x_emb [B, N, E]: the full-batch embedding, computed redundantly on every
     stage (only stage 0's slice enters the pipeline, so only stage 0
     back-propagates into the embedding params). stage_blocks(x) applies this
     stage's blocks to one microbatch activation [mb, N, E]. Returns the last
     stage's collected outputs [B, N, E] (garbage on other stages — the
-    caller masks + psums its head logits over `axis_name`)."""
+    caller masks + psums its head logits over `axis_name`).
+
+    gate_bubbles: skip the block stack on bubble ticks via lax.cond (the
+    (S-1)/(M+S-1) GPipe bubble costs ~no MXU work). MUST be False when
+    stage_blocks contains a collective-permute (the CP ring): a gated-off
+    stage skips a ppermute instruction whose source-target pairs still list
+    its devices, and the ring misroutes (measured: psum subgroups tolerate
+    partial attendance, collective-permute does not). psum-only stage
+    bodies (TP's Megatron pairs) gate safely."""
     n_stages = jax.lax.psum(1, axis_name)  # static axis size
     my = jax.lax.axis_index(axis_name)
     bsz, n_tokens, embed_dim = x_emb.shape
@@ -90,8 +100,11 @@ def pipeline_schedule(x_emb, stage_blocks, n_micro: int, axis_name: str):
         # safe because an inactive tick's output feeds only the next
         # stage's inactive tick (t+1 ∉ [s+1, s+1+n_micro)) and carries zero
         # cotangent (ADVICE r2: (S-1) wasted stage-forwards per step).
-        active = (t >= my) & (t < my + n_micro)
-        y = jax.lax.cond(active, stage_blocks, jnp.zeros_like, x_in)
+        if gate_bubbles:
+            active = (t >= my) & (t < my + n_micro)
+            y = jax.lax.cond(active, stage_blocks, jnp.zeros_like, x_in)
+        else:
+            y = stage_blocks(x_in)
         # Last stage collects microbatch t-(S-1) once it has traversed every
         # stage; earlier ticks re-write slot 0 with a discarded value.
         m_out = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)

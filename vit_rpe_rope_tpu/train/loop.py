@@ -108,28 +108,39 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # (parallel/pp_tp.py); CP and PP do not compose (configs.py rejects
     # it). A lone CP or PP run keeps the 2-axis mesh with its shards on
     # 'model' (make_mesh folds them into it).
-    # Bounded-program stepping (q_chunk > 0) is a single-device driver:
-    # it pins a 1-device mesh (configs.py already rejects combining it
-    # with the parallelism knobs).
+    # Bounded-program stepping (q_chunk > 0) composes with data and
+    # sequence parallelism: the lone-seq convention folds the token shards
+    # onto 'model', and the bounded driver runs its per-chunk KV ring over
+    # the resulting ('data', 'model') mesh (train/bounded.py). kv_chunk
+    # (host-level kv segmentation) stays single-device — the ring bounds
+    # kv residency instead.
     use_bounded = tcfg.q_chunk > 0
-    use_pptp = tcfg.pipeline_parallel > 1 and tcfg.model_parallel > 1
+    use_pptpcp = (tcfg.pipeline_parallel > 1 and tcfg.sequence_parallel > 1)
+    use_pptp = (tcfg.pipeline_parallel > 1 and tcfg.model_parallel > 1
+                and not use_pptpcp)
+    explicit_pipe = use_pptp or use_pptpcp
     mesh = make_mesh(batch_size=tcfg.batch_size,
-                     num_devices=1 if use_bounded else None,
-                     model_parallel=(tcfg.model_parallel if use_pptp
+                     num_devices=(1 if use_bounded and tcfg.kv_chunk > 0
+                                  else None),
+                     model_parallel=(tcfg.model_parallel if explicit_pipe
                                      else max(tcfg.model_parallel,
                                               tcfg.pipeline_parallel)),
                      seq_parallel=tcfg.sequence_parallel,
                      pipe_parallel=(tcfg.pipeline_parallel
-                                    if use_pptp else 1))
-    use_tpcp = tcfg.model_parallel > 1 and tcfg.sequence_parallel > 1
-    use_tp = tcfg.model_parallel > 1 and not (use_tpcp or use_pptp)
-    use_cp = tcfg.sequence_parallel > 1 and not use_tpcp
-    use_pp = tcfg.pipeline_parallel > 1 and not use_pptp
-    if (use_cp or use_pp or use_tpcp or use_pptp) and cfg.has_dropout:
+                                    if explicit_pipe else 1))
+    use_tpcp = (tcfg.model_parallel > 1 and tcfg.sequence_parallel > 1
+                and not use_pptpcp)
+    use_tp = tcfg.model_parallel > 1 and not (use_tpcp or use_pptp
+                                              or use_pptpcp)
+    use_cp = (tcfg.sequence_parallel > 1 and not use_tpcp
+              and not use_bounded and not use_pptpcp)
+    use_pp = tcfg.pipeline_parallel > 1 and not (use_pptp or use_pptpcp)
+    if (use_cp or use_pp or use_tpcp or use_pptp or use_pptpcp) \
+            and cfg.has_dropout:
         raise ValueError("sequence_parallel/pipeline_parallel do not support "
                          "dropout rates > 0")
     n_micro = tcfg.pp_microbatches or tcfg.pipeline_parallel
-    if use_pp or use_pptp:
+    if use_pp or use_pptp or use_pptpcp:
         if cfg.depth % tcfg.pipeline_parallel != 0:
             raise ValueError(
                 f"pipeline_parallel={tcfg.pipeline_parallel} must divide "
@@ -147,7 +158,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             f"(the dropout mask lives on them), so at seq_len={cfg.seq_len} "
             "the streaming flash path is bypassed and each block allocates "
             "O(B*H*N^2) memory", stacklevel=2)
-    if ((use_tp or use_tpcp or use_pptp)
+    if ((use_tp or use_tpcp or use_pptp or use_pptpcp)
             and cfg.num_heads % tcfg.model_parallel != 0):
         raise ValueError(
             f"model_parallel={tcfg.model_parallel} must divide "
@@ -197,7 +208,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     # rides the flat driver (it shards the flat moment vectors).
     use_flat = ((k > 1 or tcfg.zero1 or accum > 1)
                 and not use_tp and not use_cp and not use_pp
-                and not use_tpcp and not use_pptp and not use_bounded)
+                and not use_tpcp and not use_pptp and not use_pptpcp
+                and not use_bounded)
     zero1 = tcfg.zero1 and use_flat
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
@@ -205,8 +217,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         lambda p: flattener.flatten(vit.stack_block_params(p, cfg)))
     unflatten_j = jax.jit(
         lambda v: vit.unstack_block_params(flattener.unflatten(v), cfg))
-    if use_pptp:
-        # PP×TP: train state is the depth-stacked dict of the TP-prepared
+    if use_pptp or use_pptpcp:
+        # PP×TP(×CP): train state is the depth-stacked dict of the TP-prepared
         # layout — "blocks.X" leaves sharded over 'pipe' (dim 0) and their
         # TP dim over 'model' (parallel/pp_tp.py); eval/checkpoints see the
         # reference layout via gather_j (all-gather + unstack + un-reshape
@@ -280,11 +292,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
 
     def opt_to_disk(o):
         o = jax.device_get(o)
-        if use_pp or use_pptp:  # stacked moment dicts -> reference-keyed
+        if use_pp or use_pptp or use_pptpcp:  # stacked moment dicts -> reference-keyed
             o = jax.tree_util.tree_map(
                 lambda n: vit.unstack_block_params(n, cfg)
                 if isinstance(n, dict) else n, o, is_leaf=is_dict_node)
-        if use_tp or use_tpcp or use_pptp:
+        if use_tp or use_tpcp or use_pptp or use_pptpcp:
             o = tp.restore_reference_opt_state(o, cfg)
         o = jax.tree_util.tree_map(
             lambda n: np.asarray(flatten_j(n)) if isinstance(n, dict) else n,
@@ -310,7 +322,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             lambda l: unflatten_j(l)
             if getattr(l, "ndim", 0) == 1 and l.shape[0] == flattener.total
             else l, o)
-        if use_pptp:
+        if use_pptp or use_pptpcp:
             o = tp.prepare_tp_opt_state(o, cfg)  # qkv moments -> [3,H,Dh,E]
             o = jax.tree_util.tree_map(
                 lambda n: vit.stack_block_params(n, cfg)
@@ -345,7 +357,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             checkpoint.load_train_state(last_path, opt_to_disk(opt_state))
         params = jax.device_put(params, replicated)
         opt_state = opt_from_disk(opt_loaded)
-        if use_tp or use_pp or use_tpcp or use_pptp:
+        if use_tp or use_pp or use_tpcp or use_pptp or use_pptpcp:
             train_params = prepare_j(params)
         else:
             train_params = flatten_j(params) if use_flat else params
@@ -353,7 +365,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             print(f"Resumed from {last_path} at epoch {start_epoch} "
                   f"(best {best_acc:.2f}%)")
 
-    if use_pptp:
+    if use_pptpcp:
+        train_fn = ts.make_pp_tp_cp_train_step(
+            cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
+            guard_padded_steps=(steps_per_epoch % k != 0))
+    elif use_pptp:
         train_fn = ts.make_pp_tp_train_step(
             cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
             guard_padded_steps=(steps_per_epoch % k != 0))
@@ -376,10 +392,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     elif use_bounded:
         from vit_rpe_rope_tpu.train.bounded import make_bounded_step
 
-        bounded_step = make_bounded_step(cfg, tcfg, tx, preprocess,
-                                         q_chunk=tcfg.q_chunk,
-                                         kv_chunk=tcfg.kv_chunk)
-        gather_batch_j = jax.jit(ts._gather_batch)
+        bounded_step = make_bounded_step(
+            cfg, tcfg, tx, preprocess, q_chunk=tcfg.q_chunk,
+            kv_chunk=tcfg.kv_chunk, mesh=mesh,
+            seq_parallel=tcfg.sequence_parallel)
+        # The gathered batch is born batch-sharded over 'data' so the
+        # bounded step's pieces never reshard it.
+        dsh = NamedSharding(mesh, P(DATA_AXIS))
+        gather_batch_j = jax.jit(ts._gather_batch,
+                                 out_shardings=(dsh, dsh, dsh))
 
         def train_fn(params, opt_state, step_arr, data_x, data_y, epoch_idx):
             imgs, labels, mask = gather_batch_j(data_x, data_y,
@@ -438,7 +459,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 _run_epoch(train_fn, (train_params, opt_state), train_x,
                            train_y, epoch_idx, "Training", True, k=stride,
                            epoch=epoch)
-            if use_tp or use_pp or use_tpcp or use_pptp:
+            if use_tp or use_pp or use_tpcp or use_pptp or use_pptpcp:
                 params = gather_j(train_params)
             else:
                 params = unflatten_j(train_params) if use_flat else train_params

@@ -782,6 +782,55 @@ def make_pp_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         k=k, guard_padded_steps=guard_padded_steps)
 
 
+def make_pp_tp_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
+                             preprocess, n_micro: int, k: int = 1,
+                             guard_padded_steps: bool = True):
+    """Composed 4-axis training step over the ('data', 'pipe', 'seq',
+    'model') mesh: data × pipeline × sequence × tensor parallelism
+    (parallel/pp_tp_cp.py) — with 'model' possibly size 1, in which case
+    this is the lone PP×CP driver. Params are the depth-stacked dict of the
+    TP-prepared layout placed with pp_tp_param_specs shardings ('seq'
+    unmentioned → replicated across it); the optimizer state mirrors them.
+
+    Gradient synchronization: every grad psums over ('data', 'seq') — each
+    sequence shard back-propagates only its tokens; non-block params
+    additionally psum over 'pipe' (per-stage partials); per-head PE params
+    additionally psum over 'model'. Same k-step fusion contract as the
+    other model-axis drivers."""
+    from vit_rpe_rope_tpu import pe as pe_registry
+    from vit_rpe_rope_tpu.configs import PE_KIND_LOGITS_BIAS
+    from vit_rpe_rope_tpu.parallel import pp_tp, pp_tp_cp
+    from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
+    from vit_rpe_rope_tpu.parallel.mesh import (
+        MODEL_AXIS, PIPE_AXIS, SEQ_AXIS)
+
+    pe_mod = pe_registry.get(cfg.pos_encoding)
+    needs_model_sync = (pe_mod.KIND == PE_KIND_LOGITS_BIAS
+                        or cfg.pos_encoding == "rope-mixed")
+    pe_keys = set(pe_mod.init_params(jax.random.PRNGKey(0), cfg))
+
+    def reduce_grads(grads):
+        grads = jax.lax.psum(grads, (DATA_AXIS, SEQ_AXIS))
+        grads = {kk: (g if kk.startswith("blocks.")
+                      else jax.lax.psum(g, PIPE_AXIS))
+                 for kk, g in grads.items()}
+        if needs_model_sync:
+            for pk in pe_keys:
+                grads[pk] = jax.lax.psum(grads[pk], MODEL_AXIS)
+        return grads
+
+    proto = vit.stack_block_params(
+        tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
+                             cfg), cfg)
+    return _make_model_axis_train_step(
+        cfg, tcfg, mesh, tx, preprocess,
+        apply_fn=lambda p, x, c: pp_tp_cp.apply_pp_tp_cp(
+            p, x, c, n_micro=n_micro),
+        reduce_grads=reduce_grads, proto_params=proto,
+        param_specs=pp_tp.pp_tp_param_specs(proto),
+        k=k, guard_padded_steps=guard_padded_steps)
+
+
 def make_eval_step(cfg: ViTConfig, mesh, preprocess, k: int = 1,
                    apply_fn=None):
     """Returns jitted eval_step(params, step, data_x, data_y, epoch_idx) ->
