@@ -163,8 +163,9 @@ class TrainConfig:
     model_parallel: int = 1
     # ZeRO stage 1: shard the optimizer moments over the data axis (each
     # chip keeps 1/n_data of the Adam state; updated params ride one tiled
-    # all_gather over ICI). Elementwise-identical trajectory. Requires the
-    # flat driver; incompatible with model_parallel > 1.
+    # all_gather over ICI). Elementwise-identical trajectory. Composes with
+    # model_parallel (per-model-shard flat vectors); incompatible with
+    # sequence/pipeline parallelism.
     zero1: bool = False
     # Sequence/context parallelism degree: shard tokens over a mesh axis
     # and run attention as a KV ring over ICI
@@ -217,13 +218,14 @@ class TrainConfig:
             raise ValueError(
                 f"pp_microbatches must be >= 0 (0 = auto); got "
                 f"{self.pp_microbatches}")
-        if self.zero1 and (self.model_parallel > 1
-                           or self.sequence_parallel > 1
+        if self.zero1 and (self.sequence_parallel > 1
                            or self.pipeline_parallel > 1):
             raise ValueError(
-                "zero1 shards the flat-vector optimizer over the data axis "
-                "and is incompatible with model/sequence/pipeline "
-                "parallelism > 1 (those drivers keep dict params)")
+                "zero1 shards the optimizer over the data axis and is "
+                "incompatible with sequence/pipeline parallelism > 1; it "
+                "composes with data parallelism (flat-vector driver) and "
+                "with model_parallel (per-model-shard flat vectors — "
+                "train_step.make_tp_train_step(zero1=True))")
         if self.q_chunk < 0:
             raise ValueError(f"q_chunk must be >= 0; got {self.q_chunk}")
         if self.kv_chunk < 0:

@@ -211,6 +211,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 and not use_tpcp and not use_pptp and not use_pptpcp
                 and not use_bounded)
     zero1 = tcfg.zero1 and use_flat
+    zero1_tp = tcfg.zero1 and use_tp  # ZeRO-1 x TP: per-model-shard vectors
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
     flatten_j = jax.jit(
@@ -252,7 +253,11 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         gather_j = jax.jit(lambda p: tp.restore_reference_params(p, cfg),
                            out_shardings=replicated)
         train_params = prepare_j(params)
-        opt_state = jax.jit(tx.init)(train_params)  # inherits TP shardings
+        if zero1_tp:
+            opt_state, zero1_tp_specs, zero1_tp_flt = \
+                ts.init_tp_zero1_opt_state(tx, cfg, mesh)
+        else:
+            opt_state = jax.jit(tx.init)(train_params)  # inherits TP shardings
     elif use_pp:
         # Pipeline parallelism: train state is the depth-stacked dict with
         # "blocks.X" leaves sharded over the stage axis
@@ -289,9 +294,57 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     is_dict_node = lambda x: isinstance(x, dict)  # noqa: E731
     n_data = mesh.shape[DATA_AXIS]
     zero1_padded = ts.zero1_shard_size(flattener.total, n_data) * n_data
+    if zero1_tp:
+        # zero1 x TP moments are [T * padded_local] flat vectors laid out
+        # model-major (train_step.init_tp_zero1_opt_state); the canonical
+        # disk form stays the reference flat vector, so the conversions
+        # reassemble / re-split the per-model-shard local flats.
+        from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+        t_par = mesh.shape[MODEL_AXIS]
+        z_padded_l = (ts.zero1_shard_size(zero1_tp_flt.total, n_data)
+                      * n_data)
+        z_tp_specs = tp.tp_param_specs(tp.prepare_tp_params(params, cfg),
+                                       cfg)
+
+        def _z_tp_dim(key):
+            return next((i for i, ax in enumerate(z_tp_specs[key])
+                         if ax == MODEL_AXIS), None)
+
+        def _tpz_vec_to_prepared(vec):
+            """[T*padded] moment vector -> prepared-layout moment dict."""
+            arr = np.asarray(vec).reshape(t_par, z_padded_l)
+            locs = [zero1_tp_flt.unflatten(v[:zero1_tp_flt.total])
+                    for v in arr]
+            out = {}
+            for key in locs[0]:
+                dim = _z_tp_dim(key)
+                out[key] = (np.asarray(locs[0][key]) if dim is None
+                            else np.concatenate(
+                                [np.asarray(l[key]) for l in locs],
+                                axis=dim))
+            return out
+
+        def _tpz_prepared_to_vec(prepared):
+            """prepared-layout moment dict -> [T*padded] moment vector."""
+            flats = []
+            for m in range(t_par):
+                loc = {}
+                for key, a in prepared.items():
+                    dim = _z_tp_dim(key)
+                    loc[key] = (np.asarray(a) if dim is None else
+                                np.split(np.asarray(a), t_par, axis=dim)[m])
+                v = np.asarray(zero1_tp_flt.flatten(loc))
+                flats.append(np.concatenate(
+                    [v, np.zeros(z_padded_l - v.shape[0], v.dtype)]))
+            return np.concatenate(flats)
 
     def opt_to_disk(o):
         o = jax.device_get(o)
+        if zero1_tp:  # [T*padded] vectors -> prepared dicts, then as use_tp
+            o = jax.tree_util.tree_map(
+                lambda l: _tpz_vec_to_prepared(l)
+                if getattr(l, "ndim", 0) == 1
+                and l.shape[0] == t_par * z_padded_l else l, o)
         if use_pp or use_pptp or use_pptpcp:  # stacked moment dicts -> reference-keyed
             o = jax.tree_util.tree_map(
                 lambda n: vit.unstack_block_params(n, cfg)
@@ -332,6 +385,14 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 ts.opt_specs_like(o, pptp_specs),
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
             return jax.device_put(o, opt_shardings)
+        if zero1_tp:
+            o = tp.prepare_tp_opt_state(jax.device_get(o), cfg)
+            o = jax.tree_util.tree_map(
+                lambda nn: _tpz_prepared_to_vec(nn)
+                if isinstance(nn, dict) else nn, o, is_leaf=is_dict_node)
+            return jax.device_put(o, jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), zero1_tp_specs,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
         if use_tp or use_tpcp:
             opt_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s),
@@ -380,7 +441,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     elif use_tp:
         train_fn = ts.make_tp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
-            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
+            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum,
+            zero1=zero1_tp)
     elif use_cp:
         train_fn = ts.make_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,

@@ -31,6 +31,7 @@ import optax
 from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig, cosine_lr_by_epoch
 from vit_rpe_rope_tpu.models import vit
 from vit_rpe_rope_tpu.parallel.mesh import DATA_AXIS, P, shard_map
+from vit_rpe_rope_tpu.utils.flatten import Flattener
 
 
 def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
@@ -332,6 +333,56 @@ def init_zero1_opt_state(tx, flattener, mesh):
     return placed, specs
 
 
+def tp_local_flattener(cfg, model_parallel: int):
+    """Flattener over ONE model shard's local slice of the TP-prepared
+    layout: global TP-prepared shapes with every MODEL_AXIS-sharded dim
+    divided by the TP degree (what a device sees inside shard_map). The
+    ZeRO-1 × TP composition flattens per (model shard); template arrays are
+    metadata only."""
+    import numpy as np
+
+    from vit_rpe_rope_tpu.parallel import tensor_parallel as tp
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+
+    proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
+                                 cfg)
+    specs = tp.tp_param_specs(proto, cfg)
+    local = {}
+    for key, a in proto.items():
+        shp = list(a.shape)
+        for i, ax in enumerate(specs[key]):
+            if ax == MODEL_AXIS:
+                shp[i] //= model_parallel
+        local[key] = np.zeros(shp, a.dtype)
+    return Flattener(local)
+
+
+def init_tp_zero1_opt_state(tx, cfg, mesh):
+    """ZeRO-1 optimizer state for the TP driver: each (model, data) device
+    holds Adam moments for 1/n_data of ITS model shard's padded flat param
+    slice. Vector leaves are globally [T · padded], laid out model-major —
+    spec P((MODEL_AXIS, DATA_AXIS)) on dim 0 — so the local view inside
+    shard_map is exactly this device's [shard] slice; scalars (the Adam
+    step count) stay replicated. Returns (opt_state, opt_specs,
+    flattener)."""
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, NamedSharding
+
+    t_par = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    flt = tp_local_flattener(cfg, t_par)
+    padded = zero1_shard_size(flt.total, n_data) * n_data
+    proto = tx.init(jnp.zeros((t_par * padded,), jnp.float32))
+    specs = jax.tree_util.tree_map(
+        lambda leaf: (P((MODEL_AXIS, DATA_AXIS))
+                      if getattr(leaf, "ndim", 0) >= 1 else P()), proto)
+    placed = jax.device_put(
+        proto,
+        jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
+    return placed, specs, flt
+
+
 def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                preprocess, k: int, flattener, apply_fn=None,
                                guard_padded_steps: bool = True,
@@ -472,7 +523,8 @@ def opt_specs_like(opt_state, param_specs):
 def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                 preprocess, apply_fn, reduce_grads,
                                 proto_params, param_specs, k: int,
-                                guard_padded_steps: bool, accum: int = 1):
+                                guard_padded_steps: bool, accum: int = 1,
+                                update_fn=None, opt_specs_override=None):
     """Shared skeleton of the model-axis drivers (TP / CP / PP / TP×CP):
     one DP×axis optimizer step with the augment/dropout key replicated
     across the second mesh axis (activations there must stay consistent),
@@ -537,8 +589,11 @@ def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                 lambda g: g / safe_count, reduce_grads(g_sum))
             loss = jax.lax.psum(loss_sum, DATA_AXIS) / safe_count
         correct = jax.lax.psum(correct, DATA_AXIS)
-        updates, o_new = tx.update(grads, opt_state, params)
-        p_new = optax.apply_updates(params, updates)
+        if update_fn is not None:  # e.g. the ZeRO-1 sharded optimizer
+            p_new, o_new = update_fn(grads, opt_state, params)
+        else:
+            updates, o_new = tx.update(grads, opt_state, params)
+            p_new = optax.apply_updates(params, updates)
         if guard:
             live = count > 0
             p_new = jax.tree_util.tree_map(
@@ -567,8 +622,11 @@ def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
 
     # Spec pytree from the optimizer-state STRUCTURE only (eval_shape — no
     # real moment arrays are allocated here).
-    opt_specs = opt_specs_like(jax.eval_shape(tx.init, proto_params),
-                               param_specs)
+    if opt_specs_override is not None:
+        opt_specs = opt_specs_override
+    else:
+        opt_specs = opt_specs_like(jax.eval_shape(tx.init, proto_params),
+                                   param_specs)
     sharded = shard_map(
         local_step, mesh,
         in_specs=(param_specs, opt_specs, P(), P(), P(), P(None, DATA_AXIS)),
@@ -579,7 +637,8 @@ def _make_model_axis_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
 
 def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, k: int = 1,
-                       guard_padded_steps: bool = True, accum: int = 1):
+                       guard_padded_steps: bool = True, accum: int = 1,
+                       zero1: bool = False):
     """Data-parallel + tensor-parallel training step over the full
     ('data', 'model') mesh. Params must be TP-prepared
     (tensor_parallel.prepare_tp_params) and placed with tp_param_specs
@@ -596,6 +655,14 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         only saw its own heads' contributions. Grads of replicated-use params
         (LN, patch embed, head, APE) are identical across 'model' and of
         sharded params are local-only; neither gets a model-axis reduction.
+
+    zero1=True composes ZeRO-1 with TP: the flat-vector trick generalizes
+    per MODEL SHARD — each device flattens its local TP slice of
+    params/grads, updates only its 1/n_data stripe of the Adam moments
+    (tp_local_flattener order), and the new local params ride one tiled
+    all_gather over 'data' back to shard-replicated. Elementwise-identical
+    to the replicated-optimizer TP step; moment memory drops from 2P/T per
+    chip to 2P/(T·n_data). Pass the opt state from init_tp_zero1_opt_state.
     """
     from vit_rpe_rope_tpu import pe as pe_registry
     from vit_rpe_rope_tpu.configs import PE_KIND_LOGITS_BIAS
@@ -615,13 +682,38 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                 grads[pk] = jax.lax.psum(grads[pk], MODEL_AXIS)
         return grads
 
+    update_fn = None
+    opt_specs_override = None
+    if zero1:
+        n_data = mesh.shape[DATA_AXIS]
+        flt = tp_local_flattener(cfg, mesh.shape[MODEL_AXIS])
+        shard = zero1_shard_size(flt.total, n_data)
+        padded = shard * n_data
+        opt_specs_override = jax.tree_util.tree_map(
+            lambda leaf: (P((MODEL_AXIS, DATA_AXIS))
+                          if getattr(leaf, "ndim", 0) >= 1 else P()),
+            jax.eval_shape(tx.init,
+                           jax.ShapeDtypeStruct((shard,), jnp.float32)))
+
+        def update_fn(grads, o, p):  # noqa: F811 — the ZeRO-1 × TP update
+            my = jax.lax.axis_index(DATA_AXIS)
+            g_sh = jax.lax.dynamic_slice_in_dim(
+                _pad_vec(flt.flatten(grads), padded), my * shard, shard)
+            p_sh = jax.lax.dynamic_slice_in_dim(
+                _pad_vec(flt.flatten(p), padded), my * shard, shard)
+            updates, o_new = tx.update(g_sh, o, p_sh)
+            p_sh = optax.apply_updates(p_sh, updates)
+            p_full = jax.lax.all_gather(p_sh, DATA_AXIS, tiled=True)
+            return flt.unflatten(p_full[:flt.total]), o_new
+
     proto = tp.prepare_tp_params(vit.init_params(jax.random.PRNGKey(0), cfg),
                                  cfg)
     return _make_model_axis_train_step(
         cfg, tcfg, mesh, tx, preprocess, apply_fn=tp.apply_tp,
         reduce_grads=reduce_grads, proto_params=proto,
         param_specs=tp.tp_param_specs(proto, cfg),
-        k=k, guard_padded_steps=guard_padded_steps, accum=accum)
+        k=k, guard_padded_steps=guard_padded_steps, accum=accum,
+        update_fn=update_fn, opt_specs_override=opt_specs_override)
 
 
 def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
