@@ -148,9 +148,19 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
         # ring + identity ppermute + dparam psum) on a 1-device mesh — the
         # hardware-validation knob for the bounded × seq composition when
         # only one real chip exists (a 1-device ring is numerically exact).
-        from vit_rpe_rope_tpu.parallel.mesh import make_mesh
+        # Inputs MUST be device_put onto the mesh: un-placed arrays are
+        # re-placed through the tunnel's host path on EVERY dispatch
+        # (measured 1.5-6.5 s per piece program vs ~30 ms placed).
+        from vit_rpe_rope_tpu.parallel.mesh import (
+            DATA_AXIS, NamedSharding, P, make_mesh)
 
         mesh = make_mesh(batch_size=batch, num_devices=1)
+        rep = NamedSharding(mesh, P())
+        dsh = NamedSharding(mesh, P(DATA_AXIS))
+        params = jax.device_put(params, rep)
+        opt = jax.device_put(opt, rep)
+        imgs = jax.device_put(imgs, dsh)
+        labels = jax.device_put(labels, dsh)
     step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk,
                              kv_chunk=kv_chunk, mesh=mesh,
                              force_ring=force_ring)
