@@ -463,8 +463,7 @@ def test_fit_sequence_parallel_cli(tmp_path):
 
 def test_sequence_parallel_composes_with_model_parallel():
     # Round 3: TP × CP compose (3-axis mesh — tests/test_tp_cp.py) and
-    # PP × TP compose (tests/test_pp_tp.py); PP × SP has no mesh.
+    # PP × TP compose (tests/test_pp_tp.py); round 4 adds PP × SP on the
+    # 4-axis mesh (tests/test_pp_tp_cp.py).
     TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
-    with pytest.raises(ValueError, match="do not compose"):
-        TrainConfig(dataset="mnist", pipeline_parallel=2,
-                    sequence_parallel=2)
+    TrainConfig(dataset="mnist", pipeline_parallel=2, sequence_parallel=2)

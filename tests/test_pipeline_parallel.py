@@ -157,10 +157,12 @@ def test_fit_pipeline_parallel_cli(tmp_path):
 
 
 def test_pipeline_parallel_config_validation():
-    with pytest.raises(ValueError, match="do not compose"):
-        TrainConfig(dataset="mnist", pipeline_parallel=2, sequence_parallel=2)
-    # PP × TP composes (parallel/pp_tp.py — tests/test_pp_tp.py).
+    # PP × TP composes (parallel/pp_tp.py — tests/test_pp_tp.py); since
+    # round 4 PP × SP composes too (4-axis mesh — tests/test_pp_tp_cp.py).
+    TrainConfig(dataset="mnist", pipeline_parallel=2, sequence_parallel=2)
     TrainConfig(dataset="mnist", pipeline_parallel=2, model_parallel=2)
+    with pytest.raises(ValueError, match="pp_microbatches"):
+        TrainConfig(dataset="mnist", pipeline_parallel=2, pp_microbatches=-1)
 
 
 @pytest.mark.parametrize("pe", ["polynomial", "relative"])

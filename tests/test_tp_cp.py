@@ -111,14 +111,13 @@ def test_tp_cp_training_matches_dp(pe):
                                    rtol=1e-4, atol=1e-5, err_msg=kk)
 
 
-def test_config_accepts_tp_cp_rejects_pp_sp_combo():
+def test_config_accepts_every_pairwise_combo():
     TrainConfig(dataset="mnist", model_parallel=2, sequence_parallel=2)
-    # PP × TP composes too (parallel/pp_tp.py — tests/test_pp_tp.py);
-    # only PP × SP has no mesh (4 axes would be needed).
+    # PP × TP composes too (parallel/pp_tp.py — tests/test_pp_tp.py), and
+    # since round 4 PP × SP rides the 4-axis mesh (parallel/pp_tp_cp.py —
+    # tests/test_pp_tp_cp.py).
     TrainConfig(dataset="mnist", pipeline_parallel=2, model_parallel=2)
-    with pytest.raises(ValueError, match="do not compose"):
-        TrainConfig(dataset="mnist", pipeline_parallel=2,
-                    sequence_parallel=2)
+    TrainConfig(dataset="mnist", pipeline_parallel=2, sequence_parallel=2)
 
 
 def test_fit_tp_cp_cli(tmp_path):
