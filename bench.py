@@ -123,6 +123,9 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     m.block_until_ready()
     starts = [s for s in range(0, total_steps, k)]
     n_dispatch = max(2, (steps - 1) // k)  # ≥ 2 timed dispatches
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:  # device-trace capture around the TIMED dispatches only
+        jax.profiler.start_trace(prof_dir)
     t0 = time.perf_counter()
     measured = 0
     for i in range(n_dispatch):
@@ -132,6 +135,8 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
         measured += k
     m.block_until_ready()
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
     assert measured > 0 and np.isfinite(np.asarray(m)).all(), "bad metrics"
     ips = batch * measured / dt
     flops_per_step = train_step_flops(cfg, batch)

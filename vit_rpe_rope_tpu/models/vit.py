@@ -304,8 +304,16 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
                     block_params["norm1.bias"], eps)
     bsz, n, e = h.shape
     nh, dh = cfg.num_heads, cfg.head_dim
-    qkv = _linear(h, block_params["attn.qkv.weight"])
-    qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
+    # qkv via an einsum whose OUTPUT layout is already [3, B, H, N, Dh]:
+    # the reshape(B,N,3,H,Dh).transpose(2,0,3,1,4) relayout it replaces was
+    # a real device pass — 6.2% of stretch-step device time in the round-4
+    # trace (docs/logs/r4_profile_stretch.json, "data formatting") — while
+    # the einsum lets the MXU write its tiles in the target layout. Weight
+    # rows are torch-ordered f = part·E + head·Dh + d, so the [3E, E] ->
+    # [3, H, Dh, E] view is exact (same trick as tensor_parallel._tp_block).
+    qkv_w = block_params["attn.qkv.weight"].reshape(3, nh, dh, e)
+    qkv = jnp.einsum("bne,thde->tbhnd", h, qkv_w.astype(h.dtype),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = dh ** -0.5
     attn_dropping = drop and cfg.attn_drop_rate > 0
