@@ -36,8 +36,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="quantized path (quant.py; see --int8_mode)")
     ap.add_argument("--int8_mode", default="w8a8",
-                    choices=["w8a8", "w8a16"],
-                    help="w8a8: int8 MXU; w8a16: weight-only int8 -> bf16")
+                    choices=["w8a8", "w8a8-static", "w8a16"],
+                    help="w8a8: int8 MXU (dynamic per-token scales); "
+                         "w8a8-static: int8 MXU, offline-calibrated "
+                         "per-tensor scales (calibrates on one synthetic "
+                         "batch here); w8a16: weight-only int8 -> bf16")
     ap.add_argument("--batch", type=int, default=0, help="0 = config default")
     ap.add_argument("--steps", type=int, default=60)
     args = ap.parse_args()
@@ -60,6 +63,19 @@ def main():
     mean, std = NORMALIZATION["cifar10"]
     int8 = args.int8_mode if args.int8 else False
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    if int8 == "w8a8-static":
+        # Calibrate the per-tensor activation scales offline on one batch
+        # drawn from the same synthetic distribution the benchmark serves
+        # (scales don't change the program's speed, only its grid).
+        from vit_rpe_rope_tpu import quant
+        from vit_rpe_rope_tpu.train import train_step as ts
+
+        crng = np.random.default_rng(7)
+        calib_u8 = crng.integers(0, 256, (min(args.batch or 64, 64), native,
+                                          native, 3), dtype=np.uint8)
+        pre = ts.make_preprocess(cfg, mean, std, native)
+        params = quant.quantize_params(
+            params, cfg, calib_images=pre(jax.numpy.asarray(calib_u8)))
     pred = serving.Predictor.from_params(params, cfg, mean, std, native,
                                          int8=int8)
 

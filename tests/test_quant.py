@@ -40,25 +40,105 @@ def test_q8_linear_close_to_fp32(linear):
     assert rel < 0.02, rel
 
 
-@pytest.mark.parametrize("mode", ["w8a8", "w8a16"])
+def test_q8_linear_static_close_to_fp32():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1.0, (4, 7, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, (32, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (32,)), jnp.float32)
+    w_q, scale = quant.quantize_tensor(w)
+    a_scale = jnp.max(jnp.abs(x)) / 127.0  # what calibration would produce
+    got = np.asarray(quant.q8_linear_static(x, w_q, scale, a_scale, b))
+    want = np.asarray(x @ w.T + b)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.03, rel
+
+
+@pytest.mark.parametrize("mode", ["w8a8", "w8a8-static", "w8a16"])
 @pytest.mark.parametrize("pe", ["none", "absolute", "relative", "polynomial",
                                 "rope-axial", "rope-mixed"])
 def test_apply_q8_matches_fp32_forward(pe, mode):
     cfg = ViTConfig(**TINY, pos_encoding=pe)
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    qparams = quant.quantize_params(params, cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1.0, (8, 8, 8, 1)), jnp.float32)
+    calib = x if mode == "w8a8-static" else None
+    qparams = quant.quantize_params(params, cfg, calib_images=calib)
     # quantized keys replaced, the rest passed through
     assert "patch_embed.weight:q8" in qparams
     assert "blocks.0.attn.qkv.weight:scale" in qparams
     assert "norm.weight" in qparams and "patch_embed.weight" not in qparams
+    if mode == "w8a8-static":
+        assert "blocks.1.mlp.fc2.weight:act_scale" in qparams
+        assert qparams["head.weight:act_scale"].shape == ()
 
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(0, 1.0, (8, 8, 8, 1)), jnp.float32)
     want = np.asarray(vit.apply(params, x, cfg))
     got = np.asarray(quant.apply_q8(qparams, x, cfg, mode=mode))
     rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
-    # w8a16 runs bf16 activations on top of the int8 weight grid.
-    assert rel < (0.08 if mode == "w8a16" else 0.05), (pe, mode, rel)
+    # w8a16 runs bf16 activations on top of the int8 weight grid; the
+    # static mode's per-tensor grid is coarser than w8a8's per-token one.
+    assert rel < (0.08 if mode != "w8a8" else 0.05), (pe, mode, rel)
+
+
+def test_static_mode_requires_calibration():
+    cfg = ViTConfig(**TINY, pos_encoding="none")
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_params(params, cfg)  # no calib_images
+    with pytest.raises(ValueError, match="act_scale"):
+        quant.apply_q8(qparams, jnp.zeros((1, 8, 8, 1)), cfg,
+                       mode="w8a8-static")
+
+
+def test_static_calibration_generalizes_off_calib_batch():
+    """Scales calibrated on one batch must serve OTHER batches from the same
+    distribution — the whole point of static quantization."""
+    cfg = ViTConfig(**TINY, pos_encoding="rope-axial")
+    params = vit.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(13)
+    calib = jnp.asarray(rng.normal(0, 1.0, (8, 8, 8, 1)), jnp.float32)
+    qparams = quant.quantize_params(params, cfg, calib_images=calib)
+    x = jnp.asarray(rng.normal(0, 1.0, (8, 8, 8, 1)), jnp.float32)  # fresh
+    want = np.asarray(vit.apply(params, x, cfg))
+    got = np.asarray(quant.apply_q8(qparams, x, cfg, mode="w8a8-static"))
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-6)
+    assert rel < 0.10, rel
+
+
+def test_static_predictor_and_artifact(tmp_path):
+    """w8a8-static through the serving layer: load_serving_state(calib),
+    Predictor, and a CPU artifact that replays identically."""
+    from vit_rpe_rope_tpu.utils import checkpoint
+
+    cfg = ViTConfig(**TINY, pos_encoding="polynomial")
+    params = vit.init_params(jax.random.PRNGKey(4), cfg)
+    ckpt = checkpoint.save(str(tmp_path / "mnist_polynomial_best.npz"),
+                           jax.device_get(params), vit.buffers(cfg),
+                           aliases=vit.reference_alias_keys(cfg))
+    native = NATIVE_SIZE["mnist"]
+    rng = np.random.default_rng(17)
+    calib_u8 = rng.integers(0, 256, (6, native, native, 1), dtype=np.uint8)
+    images = rng.integers(0, 256, (6, native, native, 1), dtype=np.uint8)
+
+    with pytest.raises(ValueError, match="w8a8-static"):
+        serving.load_serving_state(ckpt, int8="w8a8-static", num_heads=2,
+                                   grid_size=2)
+    qparams, scfg, mean, std, nat, _ = serving.load_serving_state(
+        ckpt, int8="w8a8-static", calib_images_u8=calib_u8, num_heads=2,
+        grid_size=2)
+    assert any(k.endswith(":act_scale") for k in qparams)
+
+    fp = serving.Predictor.from_params(params, cfg, mean, std, native)
+    q8s = serving.Predictor.from_params(qparams, scfg, mean, std, nat,
+                                        int8="w8a8-static")
+    lf, lq = fp.logits(images), q8s.logits(images)
+    rel = np.linalg.norm(lq - lf) / max(np.linalg.norm(lf), 1e-6)
+    assert rel < 0.08, rel
+
+    exported = serving.export_model(qparams, scfg, mean, std, nat,
+                                    platforms=("cpu",), int8="w8a8-static")
+    path = serving.save_artifact(str(tmp_path / "q8s"), exported)
+    served = serving.Predictor.from_artifact(path)
+    np.testing.assert_allclose(served.logits(images), lq, rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_apply_q8_rejects_unknown_mode():

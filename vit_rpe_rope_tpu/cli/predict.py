@@ -60,11 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="post-training int8 quantization (quant.py); mode "
                         "per --int8_mode")
     p.add_argument("--int8_mode", type=str, default="w8a8",
-                   choices=["w8a8", "w8a16"],
+                   choices=["w8a8", "w8a8-static", "w8a16"],
                    help="w8a8: int8 MXU matmuls with dynamic per-token "
-                        "activation scales; w8a16: weight-only — int8 "
-                        "weights dequantized into bf16 matmuls (wins in "
-                        "the weight-bound small-batch/latency regime)")
+                        "activation scales; w8a8-static: int8 MXU with "
+                        "offline-calibrated per-tensor scales (--calib, "
+                        "default: the --input batch) — no dynamic "
+                        "quantization chain at serve time; w8a16: "
+                        "weight-only — int8 weights dequantized into bf16 "
+                        "matmuls (wins in the weight-bound small-batch/"
+                        "latency regime)")
+    p.add_argument("--calib", type=str, default=None,
+                   help="npz with 'images' (uint8) for w8a8-static "
+                        "activation-scale calibration; defaults to --input")
     return p
 
 
@@ -91,12 +98,21 @@ def main(argv=None):
         print(f"Loaded artifact {args.artifact} "
               f"(input {predictor.in_shape}, batch-polymorphic)")
     else:
+        calib_u8 = None
+        if int8 == "w8a8-static":
+            calib_src = args.calib or args.input
+            if calib_src is None:
+                build_parser().error(
+                    "--int8_mode w8a8-static needs calibration images: "
+                    "pass --calib images.npz (or --input, used as fallback)")
+            with np.load(calib_src) as z:
+                calib_u8 = z["images"]
         # int8=... quantizes ONCE here; classify + export share the result.
         params, cfg, mean, std, native, dataset = serving.load_serving_state(
             args.checkpoint, dataset=args.dataset, num_heads=args.num_heads,
             grid_size=args.grid_size,
             rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
-            int8=int8)
+            int8=int8, calib_images_u8=calib_u8)
         print(f"{args.checkpoint}: {cfg.pos_encoding} ViT d{cfg.embed_dim} "
               f"depth {cfg.depth} heads {cfg.num_heads} patch "
               f"{cfg.patch_size} @ {cfg.img_size}px ({dataset} contract)")

@@ -40,9 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="serve the int8 quantized path (quant.py)")
     p.add_argument("--int8_mode", type=str, default="w8a8",
-                   choices=["w8a8", "w8a16"],
-                   help="w8a8: int8 MXU matmuls; w8a16: weight-only "
+                   choices=["w8a8", "w8a8-static", "w8a16"],
+                   help="w8a8: int8 MXU matmuls; w8a8-static: int8 MXU with "
+                        "offline-calibrated per-tensor scales (--calib "
+                        "required); w8a16: weight-only "
                         "(bf16 matmuls over dequantized int8 weights)")
+    p.add_argument("--calib", type=str, default=None,
+                   help="npz with 'images' (uint8) for w8a8-static "
+                        "activation-scale calibration")
     p.add_argument("--max_batch", type=int, default=1024,
                    help="reject request batches larger than this")
     return p
@@ -171,11 +176,20 @@ def main(argv=None, serve_forever: bool = True):
         predictor = serving.Predictor.from_artifact(args.artifact)
         desc = f"artifact {args.artifact}"
     else:
+        calib_u8 = None
+        if int8 == "w8a8-static":
+            if args.calib is None:
+                build_parser().error(
+                    "--int8_mode w8a8-static needs --calib images.npz")
+            import numpy as np
+
+            with np.load(args.calib) as z:
+                calib_u8 = z["images"]
         params, cfg, mean, std, native, dataset = serving.load_serving_state(
             args.checkpoint, dataset=args.dataset, num_heads=args.num_heads,
             grid_size=args.grid_size,
             rope_mixed_compat_scramble=args.rope_mixed_compat_scramble,
-            int8=int8)
+            int8=int8, calib_images_u8=calib_u8)
         predictor = serving.Predictor.from_params(params, cfg, mean, std,
                                                   native, int8=int8)
         desc = (f"{args.checkpoint} ({cfg.pos_encoding}, {dataset} contract"

@@ -1,12 +1,21 @@
 """Post-training int8 quantization for serving — a deployment capability
 with no reference counterpart (the reference serves fp32 eager torch only).
 
-Two modes over the SAME int8 artifacts (`quantize_params` output):
+Three modes over the SAME int8 weight artifacts (`quantize_params` output):
 
   * **W8A8** (`mode="w8a8"`): int8×int8→int32 MXU matmuls (394 TOPS on v5e,
     double the bf16 peak) with per-token dynamic activation scales — no
     calibration set needed; accumulation in int32, dequantized by the
     rank-1 outer product of the two scale vectors.
+  * **W8A8-static** (`mode="w8a8-static"`): int8 MXU matmuls with
+    per-tensor activation scales CALIBRATED OFFLINE (`calibrate_act_scales`
+    over a few representative batches, folded into the artifact as
+    `{key}:act_scale` scalars). Serving has NO dynamic quantization chain —
+    no per-token abs-max reduction, no scale vector — just a scalar
+    multiply/round/clip that XLA fuses into the matmul operand read, so
+    nothing needs the w8a8 optimization_barrier workaround and the int8
+    matmul keeps its full bandwidth advantage where activations dominate
+    (large batch / large model).
   * **W8A16** (`mode="w8a16"`, weight-only): weights dequantize to bf16
     inside the matmul fusion, activations stay bf16 — no activation
     round/clip chain at all. Halves WEIGHT HBM traffic vs bf16 params, so
@@ -14,7 +23,8 @@ Two modes over the SAME int8 artifacts (`quantize_params` output):
     where W8A8's per-token quantization overhead is pure loss.
 
   * weights: per-output-channel symmetric int8 (offline, `quantize_params`)
-    in both modes — one artifact serves both.
+    in all modes — one artifact serves all three (static additionally
+    needs the calibration scalars).
 
 Everything non-matmul (LayerNorm, softmax, GELU, PE generators, the
 attention inner products q·kᵀ / p·v, residuals) stays in float (f32 for
@@ -58,10 +68,17 @@ def quantize_tensor(w):
     return w_q, scale
 
 
-def quantize_params(params: dict, cfg: ViTConfig) -> dict:
+def quantize_params(params: dict, cfg: ViTConfig,
+                    calib_images=None) -> dict:
     """fp32 reference-keyed params -> serving qparams: every matmul weight
     replaced by `{key}:q8` (int8) + `{key}:scale` (f32 per-out-channel);
-    everything else passed through as float32."""
+    everything else passed through as float32.
+
+    calib_images: optional float [B, H, W, C] batch(es) ALREADY preprocessed
+    the way `models.vit.apply` expects (normalized/resized — the serving
+    layer passes its own preprocess output). When given, per-tensor
+    activation scales are calibrated on the ORIGINAL fp32 weights and added
+    as `{key}:act_scale` scalars, enabling `mode="w8a8-static"`."""
     out = {}
     for key, w in params.items():
         if _is_quantized_key(key):
@@ -74,6 +91,8 @@ def quantize_params(params: dict, cfg: ViTConfig) -> dict:
             out[key + ":scale"] = scale
         else:
             out[key] = jnp.asarray(w)
+    if calib_images is not None:
+        out.update(calibrate_act_scales(params, calib_images, cfg))
     return out
 
 
@@ -125,23 +144,70 @@ def q8_linear_wo(x, w_q, w_scale, bias=None):
     return y
 
 
-_Q8_LINEAR = {"w8a8": q8_linear, "w8a16": q8_linear_wo}
+def q8_linear_static(x, w_q, w_scale, a_scale, bias=None):
+    """Static-scale int8×int8→int32 linear: the activation grid is the
+    calibrated per-tensor scalar `a_scale` (see calibrate_act_scales), so
+    serving runs NO reduction before the matmul — just scalar
+    div/round/clip, an elementwise chain XLA fuses into the dot's operand
+    read. No optimization_barrier: the w8a8 compile hang lived in fusing
+    the DYNAMIC per-token abs-max chain into the int8 matmul; with a
+    static scalar there is no reduction to fuse.
+
+    The non-matmul plumbing (LN/softmax/residuals) runs in the CALLER's
+    activation dtype — apply_q8 uses bf16 for this mode (like w8a16): the
+    int8 grid already dominates the error budget, and fp32 activations
+    would double the bandwidth of every vector op between the matmuls.
+    The quantization chain itself computes in f32 (a bf16 x/a_scale would
+    round before the grid does)."""
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (a_scale * w_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+Q8_MODES = ("w8a8", "w8a8-static", "w8a16")
+
+
+def _make_lin(qparams: dict, mode: str):
+    """Mode-dispatching linear over quantize_params output: lin(x, wkey,
+    bias=None) looks up `{wkey}:q8` / `{wkey}:scale` (+ `{wkey}:act_scale`
+    for the static mode) and applies the mode's matmul."""
+    def lin(x, wkey, bias=None):
+        w_q = qparams[wkey + ":q8"]
+        w_scale = qparams[wkey + ":scale"]
+        if mode == "w8a16":
+            return q8_linear_wo(x, w_q, w_scale, bias)
+        if mode == "w8a8-static":
+            a_key = wkey + ":act_scale"
+            if a_key not in qparams:
+                raise ValueError(
+                    f"mode='w8a8-static' needs calibrated activation scales "
+                    f"({a_key} missing) — quantize with "
+                    f"quantize_params(params, cfg, calib_images=...)")
+            return q8_linear_static(x, w_q, w_scale, qparams[a_key], bias)
+        return q8_linear(x, w_q, w_scale, bias)
+    return lin
 
 
 def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl,
-              mode: str = "w8a8"):
+              lin):
     """Serving twin of models.vit._block_body (eval path only — no dropout),
-    with the four block linears quantized; LN/attention-inner/softmax fp32.
-    `impl` dispatches the attention core exactly like the fp32 path (the
-    Pallas streaming kernel owns N > 2048 under "auto")."""
-    lin = _Q8_LINEAR[mode]
+    with the four block linears through `lin` (see _make_lin — quantized, or
+    the calibration observer); LN/attention-inner/softmax fp32. `impl`
+    dispatches the attention core exactly like the fp32 path (the Pallas
+    streaming kernel owns N > 2048 under "auto")."""
     eps = cfg.layer_norm_eps
     h = _layer_norm(x, params[f"{prefix}.norm1.weight"],
                     params[f"{prefix}.norm1.bias"], eps)
     bsz, n, e = h.shape
     nh, dh = cfg.num_heads, cfg.head_dim
-    qkv = lin(h, params[f"{prefix}.attn.qkv.weight:q8"],
-                    params[f"{prefix}.attn.qkv.weight:scale"])
+    qkv = lin(h, f"{prefix}.attn.qkv.weight")
     qkv = qkv.reshape(bsz, n, 3, nh, dh).transpose(2, 0, 3, 1, 4)
     if impl == "flash":
         if isinstance(bias, tuple):  # generated-bias marker (_logits_bias)
@@ -160,59 +226,97 @@ def _q8_block(params, prefix, x, cfg: ViTConfig, bias, freqs_cis, impl,
             qkv[0], qkv[1], qkv[2], dh ** -0.5, bias=bias,
             freqs_cis=freqs_cis)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
-    attn_out = lin(attn_out, params[f"{prefix}.attn.proj.weight:q8"],
-                         params[f"{prefix}.attn.proj.weight:scale"],
-                         params[f"{prefix}.attn.proj.bias"])
+    attn_out = lin(attn_out, f"{prefix}.attn.proj.weight",
+                   params[f"{prefix}.attn.proj.bias"])
     x = x + attn_out
     h = _layer_norm(x, params[f"{prefix}.norm2.weight"],
                     params[f"{prefix}.norm2.bias"], eps)
-    h = lin(h, params[f"{prefix}.mlp.fc1.weight:q8"],
-                  params[f"{prefix}.mlp.fc1.weight:scale"],
-                  params[f"{prefix}.mlp.fc1.bias"])
+    h = lin(h, f"{prefix}.mlp.fc1.weight", params[f"{prefix}.mlp.fc1.bias"])
     h = jax.nn.gelu(h, approximate=False)
-    h = lin(h, params[f"{prefix}.mlp.fc2.weight:q8"],
-                  params[f"{prefix}.mlp.fc2.weight:scale"],
-                  params[f"{prefix}.mlp.fc2.bias"])
+    h = lin(h, f"{prefix}.mlp.fc2.weight", params[f"{prefix}.mlp.fc2.bias"])
     return x + h
 
 
-def apply_q8(qparams: dict, images, cfg: ViTConfig, mode: str = "w8a8"):
-    """Quantized forward: [B, H, W, C] float images -> [B, classes] logits.
-    Mirrors models.vit.apply / forward_features (eval semantics).
-    mode: "w8a8" (int8 MXU, f32 activations) or "w8a16" (weight-only —
-    bf16 activations, int8 weights dequantized in the matmul fusion)."""
-    if mode not in _Q8_LINEAR:
-        raise ValueError(f"unknown int8 mode {mode!r}; "
-                         f"options: {sorted(_Q8_LINEAR)}")
-    lin = _Q8_LINEAR[mode]
-    adtype = jnp.bfloat16 if mode == "w8a16" else jnp.float32
+def _forward_with_lin(params: dict, images, cfg: ViTConfig, lin,
+                      adtype=jnp.float32):
+    """The shared eval forward (twin of models.vit.apply): every matmul goes
+    through `lin(x, wkey, bias=None)`; LN/attention-inner/softmax/PE stay
+    float. Drives BOTH the quantized serving modes (lin = _make_lin) and
+    offline calibration (lin = the fp32 observer in calibrate_act_scales)."""
     pe_mod = pe_registry.get(cfg.pos_encoding)
     b, e = images.shape[0], cfg.embed_dim
     x = patchify(images.astype(adtype), cfg)
-    x = lin(x, qparams["patch_embed.weight:q8"],
-            qparams["patch_embed.weight:scale"],
-            qparams["patch_embed.bias"])
-    cls = jnp.broadcast_to(qparams["cls_token"].astype(x.dtype),
+    x = lin(x, "patch_embed.weight", params["patch_embed.bias"])
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
                            (b, 1, e))
     x = jnp.concatenate([cls, x], axis=1)
 
     bias = freqs_cis = None
     if pe_mod.KIND == PE_KIND_EMBED_ADDITIVE:
-        x = pe_mod.add_embedding(qparams, x)
+        x = pe_mod.add_embedding(params, x)
     elif pe_mod.KIND == PE_KIND_LOGITS_BIAS:
         # Same bias-or-marker logic as the fp32 twin: in the streaming-
         # polynomial regime the kernel generates bias tiles in-kernel from
         # the (unquantized) coefficients instead of materializing [H, N, N].
-        bias = _logits_bias(pe_mod, qparams, cfg)
+        bias = _logits_bias(pe_mod, params, cfg)
     elif pe_mod.KIND == PE_KIND_QK_ROTATION:
-        freqs_cis = pe_mod.freqs_cis(qparams, cfg)
+        freqs_cis = pe_mod.freqs_cis(params, cfg)
 
     impl = _attention_impl(cfg)
     for i in range(cfg.depth):
-        x = _q8_block(qparams, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
-                      mode)
-    x = _layer_norm(x, qparams["norm.weight"], qparams["norm.bias"],
+        x = _q8_block(params, f"blocks.{i}", x, cfg, bias, freqs_cis, impl,
+                      lin)
+    x = _layer_norm(x, params["norm.weight"], params["norm.bias"],
                     cfg.layer_norm_eps)
-    logits = lin(x[:, 0], qparams["head.weight:q8"],
-                 qparams["head.weight:scale"], qparams["head.bias"])
+    logits = lin(x[:, 0], "head.weight", params["head.bias"])
     return logits.astype(jnp.float32)
+
+
+def apply_q8(qparams: dict, images, cfg: ViTConfig, mode: str = "w8a8"):
+    """Quantized forward: [B, H, W, C] float images -> [B, classes] logits.
+    Mirrors models.vit.apply / forward_features (eval semantics).
+    mode: "w8a8" (int8 MXU, dynamic per-token scales), "w8a8-static"
+    (int8 MXU, offline-calibrated per-tensor scales — no dynamic
+    quantization chain), or "w8a16" (weight-only — bf16 activations, int8
+    weights dequantized in the matmul fusion)."""
+    if mode not in Q8_MODES:
+        raise ValueError(f"unknown int8 mode {mode!r}; "
+                         f"options: {sorted(Q8_MODES)}")
+    adtype = jnp.float32 if mode == "w8a8" else jnp.bfloat16
+    return _forward_with_lin(qparams, images, cfg, _make_lin(qparams, mode),
+                             adtype)
+
+
+def calibrate_act_scales(params: dict, calib_images, cfg: ViTConfig) -> dict:
+    """Offline activation-scale calibration for mode="w8a8-static": run the
+    fp32 eval forward over calibration batches, recording the abs-max of the
+    INPUT of every quantized matmul site; return `{wkey}:act_scale` scalars
+    (abs-max / 127, one per site — per-tensor symmetric grid).
+
+    params: ORIGINAL fp32 reference-keyed params (not quantize_params
+    output) so the observed activations carry no weight-quantization error.
+    calib_images: one float [B, H, W, C] array or a list of them, already
+    preprocessed the way models.vit.apply expects. Runs eagerly (no jit) —
+    calibration is a one-time offline pass."""
+    absmax: dict = {}
+
+    def observer(x, wkey, bias=None):
+        xf = x.astype(jnp.float32)
+        m = jnp.max(jnp.abs(xf))
+        absmax[wkey] = m if wkey not in absmax \
+            else jnp.maximum(absmax[wkey], m)
+        w = jnp.asarray(params[wkey], jnp.float32)
+        if wkey == "patch_embed.weight":
+            w = w.reshape(w.shape[0], -1)
+        y = jnp.einsum("...i,oi->...o", xf, w)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y
+
+    batches = calib_images if isinstance(calib_images, (list, tuple)) \
+        else [calib_images]
+    for images in batches:
+        _forward_with_lin(params, jnp.asarray(images), cfg, observer)
+    return {wkey + ":act_scale":
+            jnp.maximum(m, 1e-12).astype(jnp.float32) / 127.0
+            for wkey, m in absmax.items()}

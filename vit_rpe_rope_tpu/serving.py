@@ -36,7 +36,8 @@ def _is_quantized_state(params: dict) -> bool:
 
 def _int8_mode(int8) -> str | None:
     """Normalize the int8 option: False -> None, True -> "w8a8" (the
-    original behavior), or an explicit mode string ("w8a8" / "w8a16")."""
+    original behavior), or an explicit mode string ("w8a8" /
+    "w8a8-static" / "w8a16")."""
     if not int8:
         return None
     return "w8a8" if int8 is True else str(int8)
@@ -145,13 +146,18 @@ def load_artifact(path: str) -> jax_export.Exported:
 def load_serving_state(checkpoint_path: str, dataset: str = "auto",
                        num_heads: int = 6, grid_size: int | None = None,
                        rope_mixed_compat_scramble: bool = False,
-                       int8=False):
+                       int8=False, calib_images_u8=None):
     """Checkpoint (.npz ours / .pth reference) -> (params, cfg, mean, std,
     native_size, dataset): everything needed to build a Predictor or export
     an artifact. Architecture is reconstructed from the checkpoint's shapes
     (viz.introspect.infer_vit_config); dataset="auto" picks the
     normalization contract by channel count (1=mnist, 3=cifar10); int8=True
-    returns quantized params (quant.quantize_params)."""
+    returns quantized params (quant.quantize_params).
+
+    calib_images_u8: uint8 [B, native, native, C] batch for int8
+    "w8a8-static" — preprocessed here with the same normalize/resize the
+    serving path applies, then fed to quant.calibrate_act_scales (the
+    activation statistics must be taken on serving-identical inputs)."""
     import dataclasses
 
     from vit_rpe_rope_tpu.data.datasets import NATIVE_SIZE, NORMALIZATION
@@ -172,7 +178,22 @@ def load_serving_state(checkpoint_path: str, dataset: str = "auto",
     if int8:
         from vit_rpe_rope_tpu import quant
 
-        params = quant.quantize_params(params, cfg)
+        calib = None
+        mode = _int8_mode(int8)
+        if mode == "w8a8-static":
+            if calib_images_u8 is None:
+                raise ValueError(
+                    "int8 mode 'w8a8-static' needs calibration images "
+                    "(calib_images_u8= / --calib): per-tensor activation "
+                    "scales are measured offline")
+            import numpy as _np
+
+            calib_u8 = _np.asarray(calib_images_u8)
+            if calib_u8.ndim == 3:
+                calib_u8 = calib_u8[None]
+            pre = ts.make_preprocess(cfg, mean, std, native)
+            calib = pre(jnp.asarray(calib_u8))
+        params = quant.quantize_params(params, cfg, calib_images=calib)
     return params, cfg, mean, std, native, dataset
 
 
