@@ -58,9 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--seed", type=int, default=0,
                      help="[extension] PRNG seed (the reference never seeds)")
     ext.add_argument("--attention_impl", type=str, default="auto",
-                     choices=["auto", "reference", "flash"],
+                     choices=["auto", "reference", "flash", "flash_block"],
                      help="[extension] attention kernel: Pallas fused flash "
-                          "or unfused jnp oracle")
+                          "or unfused jnp oracle; flash_block = "
+                          "experimental block-level custom_vjp (bias-free "
+                          "PE modes, ops/block_vjp.py)")
     ext.add_argument("--compute_dtype", type=str, default="float32",
                      choices=["float32", "bfloat16"],
                      help="[extension] activation compute dtype")

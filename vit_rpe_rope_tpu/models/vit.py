@@ -299,6 +299,17 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
     per-sample drop-path on both residual branches."""
     eps = cfg.layer_norm_eps
     drop = rng is not None and cfg.has_dropout
+    if impl == "flash_block":
+        if bias is None and not drop:
+            # EXPERIMENTAL single block-level custom_vjp (ops/block_vjp.py):
+            # the whole block is one differentiation boundary — the
+            # attention-level boundary measurably costs ~25% in-model at
+            # dense shapes (ROADMAP round-3 closure) even though the Pallas
+            # kernels are at standalone parity.
+            from vit_rpe_rope_tpu.ops import block_vjp
+
+            return block_vjp.block_apply(cfg, block_params, x, freqs_cis)
+        impl = "flash"  # bias modes / dropout: regular per-call boundary
     keys = list(jax.random.split(rng, 6)) if drop else [None] * 6
     h = _layer_norm(x, block_params["norm1.weight"],
                     block_params["norm1.bias"], eps)
@@ -334,6 +345,12 @@ def _block_body(block_params: dict, x, cfg, bias, freqs_cis, impl, rng=None):
             q, k, v, scale, bias=bias, freqs_cis=freqs_cis,
             dropout_rate=cfg.attn_drop_rate if attn_dropping else 0.0,
             dropout_key=keys[0])
+    # NOTE(measured, round 4): the output-side twin of the qkv layout trick
+    # (einsum "bhnd,ohd->bno" against a [E,H,Dh]-viewed proj.weight) LOSES
+    # here — stretch fp32 1,494 -> 1,415 img/s (-5.3%), bf16 flat — unlike
+    # the input side, XLA does not fold the [B,H,N,Dh]->[B,N,E] seam into
+    # the fp32 matmul operand read. The explicit transpose+reshape is the
+    # measured-faster form (docs/logs/r4_block_vjp.jsonl).
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(bsz, n, e)
     attn_out = _linear(attn_out, block_params["attn.proj.weight"],
                        block_params["attn.proj.bias"])
