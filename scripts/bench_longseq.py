@@ -58,7 +58,7 @@ CONFIGS = {
 
 def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
         q_chunk: int = 0, kv_chunk: int = 0,
-        force_ring: bool = False) -> dict:
+        force_ring: bool = False, grad_accum: int = 1) -> dict:
     from vit_rpe_rope_tpu.configs import TrainConfig, ViTConfig
     from vit_rpe_rope_tpu.data.datasets import NORMALIZATION
     from vit_rpe_rope_tpu.models import vit
@@ -81,7 +81,8 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
     tcfg = TrainConfig(dataset="cifar10", batch_size=batch, epochs=2)
     if q_chunk:
         return _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk,
-                            force_ring)
+                            force_ring, grad_accum)
+    assert grad_accum == 1, "--grad_accum needs --q_chunk (bounded driver)"
     mesh = make_mesh(batch_size=batch, num_devices=1)
     rep = NamedSharding(mesh, P())
 
@@ -120,7 +121,7 @@ def run(pe: str, n: int, steps: int, impl: str, remat=None, dtype=None,
 
 
 def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
-                 force_ring=False):
+                 force_ring=False, grad_accum=1):
     """Bounded-program stepping (train/bounded.py): the same step as MANY
     short programs — each attention program covers q_chunk query rows —
     for environments with a per-program execution deadline (this machine's
@@ -136,10 +137,16 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
                              spec["img_size"])
     tx = ts.make_optimizer(tcfg, 2)
     rng = np.random.default_rng(0)
+    # grad_accum > 1: micro-batches behind a leading accumulation axis —
+    # effective batch = grad_accum · batch with per-micro activation
+    # residency (the 1M-2M regime's only way to form a batch).
+    bshape = ((grad_accum, batch) if grad_accum > 1 else (batch,))
     imgs = jnp.asarray(rng.integers(
-        0, 256, (batch, spec["img_size"], spec["img_size"], 3),
+        0, 256, (*bshape, spec["img_size"], spec["img_size"], 3),
         dtype=np.uint8))
-    labels = jnp.asarray((np.arange(batch) % 10).astype(np.int32))
+    labels = jnp.asarray(
+        (np.arange(grad_accum * batch) % 10).astype(np.int32)
+        .reshape(bshape))
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     opt = tx.init(params)
     mesh = None
@@ -156,14 +163,15 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
 
         mesh = make_mesh(batch_size=batch, num_devices=1)
         rep = NamedSharding(mesh, P())
-        dsh = NamedSharding(mesh, P(DATA_AXIS))
+        dsh = NamedSharding(mesh, P(DATA_AXIS) if grad_accum == 1
+                            else P(None, DATA_AXIS))
         params = jax.device_put(params, rep)
         opt = jax.device_put(opt, rep)
         imgs = jax.device_put(imgs, dsh)
         labels = jax.device_put(labels, dsh)
     step = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=q_chunk,
                              kv_chunk=kv_chunk, mesh=mesh,
-                             force_ring=force_ring)
+                             force_ring=force_ring, grad_accum=grad_accum)
 
     t_c0 = time.perf_counter()
     params, opt, m = step(params, opt, jnp.asarray([0], jnp.int32),
@@ -180,8 +188,8 @@ def _run_bounded(cfg, tcfg, spec, pe, n, steps, q_chunk, kv_chunk=0,
     dt = (time.perf_counter() - t0) / steps
     return dict(pe=pe, n=n,
                 impl="bounded-ring" if force_ring else "bounded",
-                batch=batch, q_chunk=q_chunk, kv_chunk=kv_chunk,
-                n_programs_attn=step.n_chunks,
+                batch=batch, grad_accum=grad_accum, q_chunk=q_chunk,
+                kv_chunk=kv_chunk, n_programs_attn=step.n_chunks,
                 step_s=round(dt, 4), compile_s=round(compile_s, 1),
                 loss=round(float(np.asarray(m)[0]), 4))
 
@@ -203,6 +211,9 @@ def main():
     ap.add_argument("--kv_chunk", type=int, default=0,
                     help="bounded backward: also segment the key axis "
                          "(bounds dk/dv residency; needed at N=2M)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="bounded gradient accumulation: micro-batches per "
+                         "optimizer step (effective batch = batch x accum)")
     ap.add_argument("--force_ring", action="store_true",
                     help="run the bounded driver's SPMD KV-ring code path "
                          "on a 1-device mesh (hardware validation of the "
@@ -216,7 +227,8 @@ def main():
                                  dtype=args.dtype,
                                  q_chunk=args.q_chunk,
                                  kv_chunk=args.kv_chunk,
-                                 force_ring=args.force_ring)), flush=True)
+                                 force_ring=args.force_ring,
+                                 grad_accum=args.grad_accum)), flush=True)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ def aggregate_trace(trace_dir: str) -> dict:
     by_cat = collections.defaultdict(lambda: [0.0, 0])
     by_src = collections.defaultdict(lambda: [0.0, 0])
     by_op = collections.defaultdict(lambda: [0.0, 0])
+    by_src_cat = collections.defaultdict(lambda: [0.0, 0])
     total = 0.0
     for e in ev:
         if e.get("ph") != "X":
@@ -68,10 +69,17 @@ def aggregate_trace(trace_dir: str) -> dict:
         total += dur
         by_cat[cat][0] += dur
         by_cat[cat][1] += 1
-        by_src[args.get("source", "?")][0] += dur
-        by_src[args.get("source", "?")][1] += 1
+        src = args.get("source", "?")
+        by_src[src][0] += dur
+        by_src[src][1] += 1
         by_op[e["name"]][0] += dur
         by_op[e["name"]][1] += 1
+        # source × (category, op-name stem): which ops a hot source line is
+        # actually made of — a bare source total can hide thousands of
+        # scan-plumbing copies behind one dispatch-boundary line.
+        stem = e["name"].split(".")[0]
+        by_src_cat[f"{src} | {cat} | {stem}"][0] += dur
+        by_src_cat[f"{src} | {cat} | {stem}"][1] += 1
 
     def rows(agg, mxu_key=None):
         out = [dict(name=k, total_us=round(v[0], 1), calls=v[1],
@@ -89,7 +97,7 @@ def aggregate_trace(trace_dir: str) -> dict:
                 mxu_us=round(mxu_us, 1),
                 mxu_pct=round(100 * mxu_us / total, 2) if total else 0.0,
                 categories=cats, sources=rows(by_src)[:25],
-                ops=rows(by_op)[:40])
+                ops=rows(by_op)[:40], source_ops=rows(by_src_cat)[:60])
 
 
 def main():

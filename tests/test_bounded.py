@@ -225,3 +225,98 @@ def test_bounded_step_kv_segmented(pe):
         np.testing.assert_allclose(
             np.asarray(grads[key]), np.asarray(ref_grads[key]),
             rtol=2e-4, atol=2e-6, err_msg=f"{pe}: {key}")
+
+
+def test_bounded_grad_accum_matches_concat_batch():
+    """grad_accum=2 on two micro-batches of 2 == one bounded step on the
+    concatenated batch of 4: same loss/metrics, same count-normalized
+    gradients, same updated params (the count-weighted accumulation makes
+    the update the concatenated batch's)."""
+    cfg, tcfg, pre, tx, imgs, labels, params = _setup("rope-axial", batch=4)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    concat = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                               mm_dtype=jnp.float32, debug_grads=True)
+    p1, _, m1, g1 = concat(copy(params), tx.init(params),
+                           jnp.asarray([0], jnp.int32), imgs, labels)
+
+    accum = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                              mm_dtype=jnp.float32, debug_grads=True,
+                              grad_accum=2)
+    p2, _, m2, g2 = accum(copy(params), tx.init(params),
+                          jnp.asarray([0], jnp.int32),
+                          imgs.reshape(2, 2, *imgs.shape[1:]),
+                          labels.reshape(2, 2))
+
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=2e-5,
+                               atol=1e-6)
+    assert float(m2[2]) == 4.0
+    for key in sorted(g1):
+        np.testing.assert_allclose(np.asarray(g2[key]), np.asarray(g1[key]),
+                                   rtol=2e-4, atol=2e-6, err_msg=key)
+    for key in sorted(p1):
+        np.testing.assert_allclose(np.asarray(p2[key]), np.asarray(p1[key]),
+                                   rtol=5e-4, atol=5e-6, err_msg=key)
+
+
+def test_bounded_grad_accum_masked_micro():
+    """A padded example inside one micro-row: the count weighting keeps the
+    accumulated update identical to the concat batch with the same mask."""
+    cfg, tcfg, pre, tx, imgs, labels, params = _setup("rope-axial", batch=4)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    concat = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                               mm_dtype=jnp.float32, debug_grads=True)
+    p1, _, m1, g1 = concat(copy(params), tx.init(params),
+                           jnp.asarray([0], jnp.int32), imgs, labels, mask)
+
+    accum = make_bounded_step(cfg, tcfg, tx, pre, q_chunk=512,
+                              mm_dtype=jnp.float32, debug_grads=True,
+                              grad_accum=2)
+    p2, _, m2, g2 = accum(copy(params), tx.init(params),
+                          jnp.asarray([0], jnp.int32),
+                          imgs.reshape(2, 2, *imgs.shape[1:]),
+                          labels.reshape(2, 2), mask.reshape(2, 2))
+
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=2e-5,
+                               atol=1e-6)
+    assert float(m2[2]) == 3.0
+    for key in sorted(g1):
+        np.testing.assert_allclose(np.asarray(g2[key]), np.asarray(g1[key]),
+                                   rtol=2e-4, atol=2e-6, err_msg=key)
+    for key in sorted(p1):
+        # Adam amplifies f32 accumulation-order noise where grads ~ 0:
+        # the trajectory-test tolerance, not the raw-grad one.
+        np.testing.assert_allclose(np.asarray(p2[key]), np.asarray(p1[key]),
+                                   rtol=5e-4, atol=5e-6, err_msg=key)
+
+
+def test_q_chunk_accepts_grad_accum():
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=1, q_chunk=512,
+                       grad_accum=2)
+    assert tcfg.q_chunk == 512 and tcfg.grad_accum == 2
+
+
+def test_fit_bounded_grad_accum(tmp_path, monkeypatch):
+    """--q_chunk --grad_accum 2 end-to-end: fit() pads the epoch to an
+    accum multiple, gathers accum index rows per dispatch, and the bounded
+    step accumulates them into one optimizer update."""
+    import functools
+
+    from vit_rpe_rope_tpu.data import datasets as ds
+    from vit_rpe_rope_tpu.train.loop import fit
+
+    monkeypatch.setattr(ds, "synthetic",
+                        functools.partial(ds.synthetic, n_train=24,
+                                          n_test=16))
+    cfg = ViTConfig(img_size=28, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=1, num_heads=2, pos_encoding="rope-axial")
+    tcfg = TrainConfig(dataset="mnist", batch_size=8, epochs=1,
+                       synthetic_data=True, q_chunk=512, grad_accum=2,
+                       save_last=False, log_dir=str(tmp_path),
+                       ckpt_dir=str(tmp_path))
+    summary = fit(cfg, tcfg, verbose=False)
+    hist = summary["history"]
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
+    assert 0.0 <= hist[0]["test_acc"] <= 100.0

@@ -170,13 +170,15 @@ class TrainConfig:
     # Sequence/context parallelism degree: shard tokens over a mesh axis
     # and run attention as a KV ring over ICI
     # (parallel/context_parallel.py). 1 = no token sharding. COMPOSES with
-    # model_parallel (3-axis data × seq × model mesh — parallel/tp_cp.py);
-    # mutually exclusive with pipeline_parallel.
+    # model_parallel (3-axis data × seq × model mesh — parallel/tp_cp.py)
+    # and with pipeline_parallel (4-axis data × pipe × seq × model mesh —
+    # parallel/pp_tp_cp.py).
     sequence_parallel: int = 1
     # Pipeline parallelism degree: stage the blocks over a mesh axis with a
     # GPipe microbatch schedule (parallel/pipeline_parallel.py). COMPOSES
     # with model_parallel (3-axis data × pipe × model mesh —
-    # parallel/pp_tp.py); mutually exclusive with sequence_parallel.
+    # parallel/pp_tp.py) and with sequence_parallel (4-axis mesh —
+    # parallel/pp_tp_cp.py).
     pipeline_parallel: int = 1
     # Microbatches per device batch under pipeline parallelism
     # (0 = auto: the stage count — the minimum that fills the pipe).
@@ -190,8 +192,10 @@ class TrainConfig:
     # step into many short single-device programs — the attention runs
     # q_chunk query rows per program — for environments with a per-program
     # execution deadline and for remat-free explicit residency at very
-    # long N. 0 = monolithic step (default). Single-device; incompatible
-    # with the parallelism/zero1/grad_accum/augment knobs.
+    # long N. 0 = monolithic step (default). Composes with data/sequence
+    # parallelism (per-chunk KV ring) and with grad_accum (host-
+    # accumulated micro-rows); incompatible with model/pipeline
+    # parallelism, zero1, and augment.
     q_chunk: int = 0
     # With q_chunk: also segment the KEY axis of the backward at the host
     # level (kv_chunk keys per program) — bounds dk/dv gradient residency
@@ -235,13 +239,13 @@ class TrainConfig:
                              "(bounded-program stepping)")
         if self.q_chunk > 0 and (self.model_parallel > 1
                                  or self.pipeline_parallel > 1
-                                 or self.zero1 or self.grad_accum > 1
-                                 or self.augment):
+                                 or self.zero1 or self.augment):
             raise ValueError(
                 "q_chunk (bounded-program stepping) composes with data and "
                 "sequence parallelism (the per-chunk programs run a KV ring "
-                "over the mesh — train/bounded.py) but not with model/"
-                "pipeline parallelism, zero1, grad_accum > 1, or augment")
+                "over the mesh — train/bounded.py) and with grad_accum "
+                "(host-accumulated micro-rows) but not with model/pipeline "
+                "parallelism, zero1, or augment")
         if self.q_chunk > 0 and self.kv_chunk > 0 \
                 and self.sequence_parallel > 1:
             raise ValueError(

@@ -115,13 +115,27 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                       q_chunk: int = 131072, kv_chunk: int = 0,
                       mm_dtype=jnp.bfloat16, interpret=None,
                       debug_grads: bool = False, mesh=None,
-                      seq_parallel: int = 1, force_ring: bool = False):
+                      seq_parallel: int = 1, force_ring: bool = False,
+                      grad_accum: int = 1):
     """Build the bounded-program step.
 
     Returns step(params, opt_state, step_vec, images_u8, labels) ->
     (params, opt_state, metrics[loss, correct, count]) — the monolithic
     driver's contract, minus the index-gather (the caller hands the batch
     directly; there is no epoch index table to slice).
+
+    grad_accum > 1: the step consumes MICROBATCHED inputs with a leading
+    accumulation axis — images_u8 [A, B, h, w, C], labels/mask [A, B] —
+    runs the full host-scheduled fwd+bwd once per micro-row, accumulates
+    count-weighted raw gradients, and applies ONE optimizer update
+    normalized by the total real-example count: bit-comparable (to f32
+    accumulation order) to a single step on the concatenated [A·B] batch.
+    This is the effective-batch mechanism for the 1M–2M-token regime,
+    where a single micro-batch is already the HBM budget — the schedule
+    is host-driven, so the accumulators ride between piece programs
+    exactly like the kv-segment accumulators do
+    (capability bar: /root/reference/train.py:94-116 trains at any
+    batch size).
 
     q_chunk: query rows per attention program (rounded up to 512). The
     whole step issues ~depth·(2·ceil(N/q_chunk) + 4) + 5 programs; each
@@ -151,6 +165,8 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
     if cfg.has_dropout:
         raise ValueError("bounded-program stepping does not support dropout "
                          "(the reference's effective regime is all rates 0)")
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1; got {grad_accum}")
     n_seq = max(1, seq_parallel)
     if mesh is not None and mesh.devices.size == 1 and n_seq == 1 \
             and not force_ring:
@@ -339,6 +355,18 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                                       jnp.zeros_like))
     cast = jit(lambda a, dt: a.astype(dt), static_argnums=1,
                donate_argnums=(0,))
+    # Gradient-accumulation plumbing (grad_accum > 1): count-weighted tree
+    # scale/accumulate + one normalization, and a fused metric combine so
+    # the scalar bookkeeping is one small program per micro-row.
+    wscale = jit(lambda g, w: jax.tree_util.tree_map(lambda b: w * b, g))
+    wacc = jit(lambda acc, g, w: jax.tree_util.tree_map(
+        lambda x, y: x + w * y, acc, g), donate_argnums=(0,))
+    div_tree = jit(lambda g, d: jax.tree_util.tree_map(lambda x: x / d, g),
+                   donate_argnums=(0,))
+    combine = jit(lambda loss, cor, cnt, lw, ct, cn:
+                  (lw + loss * cnt, ct + cor, cn + cnt))
+    zero3 = jit(lambda ref: (jnp.zeros_like(ref),) * 3)
+    safe_den = jit(lambda c: jnp.maximum(c, 1.0))
 
     def _upd_rows(buf, part, r0):
         return jax.lax.dynamic_update_slice_in_dim(buf, part, r0, axis=2)
@@ -547,10 +575,12 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
 
         (embed_f, embed_b, pre_f, pre_b, post_f, post_b, head_vg, head_j,
          ones_mask, scatter_cls, add_donate, tree_add, take_cls, stack3,
-         zero_tree, cast, upd_rows, opt_upd, zeros) = map(_sync, (
+         zero_tree, cast, upd_rows, opt_upd, zeros, wscale, wacc, div_tree,
+         combine, zero3, safe_den) = map(_sync, (
              embed_f, embed_b, pre_f, pre_b, post_f, post_b, head_vg,
              head_j, ones_mask, scatter_cls, add_donate, tree_add,
-             take_cls, stack3, zero_tree, cast, upd_rows, opt_upd, zeros))
+             take_cls, stack3, zero_tree, cast, upd_rows, opt_upd, zeros,
+             wscale, wacc, div_tree, combine, zero3, safe_den))
         att_f = {k2: _sync(v2) for k2, v2 in att_f.items()}
         att_b = {k2: _sync(v2) for k2, v2 in att_b.items()}
 
@@ -599,11 +629,12 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
         loss, (correct, count) = head_j(hp, take_cls(xs[-1]), labels, mask)
         return stack3(loss, correct, count)
 
-    def step(params, opt_state, step_vec, images_u8, labels, mask=None):
-        del step_vec  # LR schedule lives in opt_state (optax count)
+    def _grads_of(params, images_u8, labels, mask):
+        """One micro-batch's full host-scheduled fwd+bwd. Returns (grads,
+        loss, correct, count): loss is the micro's batch-mean (the _head
+        convention) and grads differentiate that mean — the accumulation
+        wrapper re-weights by count for concat-batch parity."""
         bsz = labels.shape[0]
-        if mask is None:
-            mask = ones_mask(labels)
 
         # ---------------- forward ----------------
         xs, os_, lses, aux = forward(params, images_u8)
@@ -696,6 +727,40 @@ def make_bounded_step(cfg: ViTConfig, tcfg: TrainConfig, tx, preprocess,
                              embed_b(params, images_u8, dx, daux))
         for key, g in dparams_embed.items():
             grads[key] = tree_add(grads[key], g) if key in grads else g
+        return grads, loss, correct, count
+
+    def step(params, opt_state, step_vec, images_u8, labels, mask=None):
+        del step_vec  # LR schedule lives in opt_state (optax count)
+        if grad_accum == 1:
+            if mask is None:
+                mask = ones_mask(labels)
+            grads, loss, correct, count = _grads_of(params, images_u8,
+                                                    labels, mask)
+        else:
+            # Host-driven gradient accumulation: Σ_a count_a · grads_a is
+            # the raw gradient SUM over every real example (grads_a
+            # differentiate the micro MEAN); one normalization by the
+            # total count at the end == the concatenated-batch gradient.
+            assert images_u8.shape[0] == grad_accum, (
+                f"grad_accum={grad_accum} expects a leading accumulation "
+                f"axis; got images {images_u8.shape}")
+            g_acc = totals = None
+            for a in range(grad_accum):
+                m_a = ones_mask(labels[a]) if mask is None else mask[a]
+                g, loss_a, cor_a, cnt_a = _grads_of(params, images_u8[a],
+                                                    labels[a], m_a)
+                if g_acc is None:
+                    g_acc = wscale(g, cnt_a)
+                    totals = combine(loss_a, cor_a, cnt_a,
+                                     *zero3(loss_a))
+                else:
+                    g_acc = wacc(g_acc, g, cnt_a)
+                    totals = combine(loss_a, cor_a, cnt_a, *totals)
+                _dbg(f"accum[{a}]", totals)
+            loss_w, correct, count = totals
+            safe = safe_den(count)
+            grads = div_tree(g_acc, safe)
+            loss = loss_w / safe
 
         new_params, opt_state = _dbg("opt_upd",
                                      opt_upd(params, opt_state, grads))

@@ -457,16 +457,37 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
         bounded_step = make_bounded_step(
             cfg, tcfg, tx, preprocess, q_chunk=tcfg.q_chunk,
             kv_chunk=tcfg.kv_chunk, mesh=mesh,
-            seq_parallel=tcfg.sequence_parallel)
+            seq_parallel=tcfg.sequence_parallel, grad_accum=accum)
         # The gathered batch is born batch-sharded over 'data' so the
         # bounded step's pieces never reshard it.
         dsh = NamedSharding(mesh, P(DATA_AXIS))
         gather_batch_j = jax.jit(ts._gather_batch,
                                  out_shardings=(dsh, dsh, dsh))
+        if accum > 1:
+            # grad_accum × bounded: one dispatch consumes `accum` index
+            # rows as micro-batches behind a leading accumulation axis
+            # (the 'data' sharding stays on the batch dim).
+            adsh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+            def _gather_accum(data_x, data_y, epoch_idx, s):
+                rows = jax.lax.dynamic_slice_in_dim(epoch_idx, s, accum,
+                                                    axis=0)
+                imgs, labels, mask = ts._gather_batch(data_x, data_y,
+                                                      rows.reshape(-1))
+                return (imgs.reshape(accum, -1, *imgs.shape[1:]),
+                        labels.reshape(accum, -1),
+                        mask.reshape(accum, -1))
+
+            gather_accum_j = jax.jit(_gather_accum,
+                                     out_shardings=(adsh, adsh, adsh))
 
         def train_fn(params, opt_state, step_arr, data_x, data_y, epoch_idx):
-            imgs, labels, mask = gather_batch_j(data_x, data_y,
-                                                epoch_idx[step_arr[0]])
+            if accum > 1:
+                imgs, labels, mask = gather_accum_j(data_x, data_y,
+                                                    epoch_idx, step_arr[0])
+            else:
+                imgs, labels, mask = gather_batch_j(data_x, data_y,
+                                                    epoch_idx[step_arr[0]])
             return bounded_step(params, opt_state, step_arr, imgs, labels,
                                 mask)
     elif use_flat:
