@@ -111,12 +111,21 @@ def measure(pos_encoding="rope-axial", attention_impl="auto",
     step_fn = ts.make_flat_train_multi_step(cfg, tcfg, mesh, tx, pre, k,
                                             flattener,
                                             apply_fn=vit.apply_stacked,
-                                            guard_padded_steps=False)
+                                            guard_padded_steps=False,
+                                            feed="ordered")
     epoch_idx = jax.device_put(
         ts.pad_epoch_indices(
             ts.epoch_indices(jax.random.PRNGKey(1), n, batch, True), k),
         idx_sh)
     total_steps = epoch_idx.shape[0]
+    # Ordered feed (train/loop.py does this once per epoch; here the whole
+    # run is one epoch): batches pre-gathered contiguously so each step in
+    # the fused scan fetches with ONE dynamic slice instead of a per-row
+    # DMA chain (17% of device time in the r5 pre-trace,
+    # docs/logs/r5_profile_stretch_pre.json).
+    data_x, data_y = jax.jit(ts.epoch_order_data,
+                             out_shardings=(rep, rep))(data_x, data_y,
+                                                       epoch_idx)
 
     params, opt, m = step_fn(params, opt, jnp.asarray([0], jnp.int32),
                              data_x, data_y, epoch_idx)  # warmup/compile

@@ -212,6 +212,7 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 and not use_bounded)
     zero1 = tcfg.zero1 and use_flat
     zero1_tp = tcfg.zero1 and use_tp  # ZeRO-1 x TP: per-model-shard vectors
+    zero1_cp = tcfg.zero1 and use_cp  # ZeRO-1 x CP: data x seq moment shards
     zero1_shardings = None
     flattener = Flattener(vit.stack_block_params(params, cfg))
     flatten_j = jax.jit(
@@ -282,6 +283,10 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
         else:
             opt_state = jax.device_put(tx.init(train_params), replicated)
+    elif zero1_cp:
+        train_params = params
+        opt_state, zero1_cp_specs, zero1_cp_flt = \
+            ts.init_cp_zero1_opt_state(tx, cfg, mesh)
     else:
         train_params = params
         opt_state = jax.device_put(tx.init(train_params), replicated)
@@ -338,8 +343,19 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                     [v, np.zeros(z_padded_l - v.shape[0], v.dtype)]))
             return np.concatenate(flats)
 
+    if zero1_cp:
+        from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
+        cp_n_sh = n_data * mesh.shape[MODEL_AXIS]
+        cp_z_padded = ts.zero1_shard_size(zero1_cp_flt.total,
+                                          cp_n_sh) * cp_n_sh
+
     def opt_to_disk(o):
         o = jax.device_get(o)
+        if zero1_cp:  # [padded] vectors -> reference dicts, then generic
+            o = jax.tree_util.tree_map(
+                lambda l: zero1_cp_flt.unflatten(l[:zero1_cp_flt.total])
+                if getattr(l, "ndim", 0) == 1 and l.shape[0] == cp_z_padded
+                else l, o)
         if zero1_tp:  # [T*padded] vectors -> prepared dicts, then as use_tp
             o = jax.tree_util.tree_map(
                 lambda l: _tpz_vec_to_prepared(l)
@@ -409,6 +425,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 ts.opt_specs_like(o, pp_specs),
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
             return jax.device_put(o, opt_shardings)
+        if zero1_cp:  # reference dicts -> padded flat moment vectors
+            o = jax.tree_util.tree_map(
+                lambda nn: np.concatenate(
+                    [np.asarray(zero1_cp_flt.flatten(jax.device_get(nn))),
+                     np.zeros(cp_z_padded - zero1_cp_flt.total, np.float32)])
+                if isinstance(nn, dict) else nn, o, is_leaf=is_dict_node)
+            return jax.device_put(o, jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), zero1_cp_specs,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
         return jax.device_put(o, replicated)
 
     last_path = f"{tcfg.ckpt_dir}/{tcfg.dataset}_{cfg.pos_encoding}_last.npz"
@@ -446,7 +471,8 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
     elif use_cp:
         train_fn = ts.make_cp_train_step(
             cfg, tcfg, mesh, tx, preprocess, k=k,
-            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum)
+            guard_padded_steps=(steps_per_epoch % k != 0), accum=accum,
+            zero1=zero1_cp)
     elif use_pp:
         train_fn = ts.make_pp_train_step(
             cfg, tcfg, mesh, tx, preprocess, n_micro=n_micro, k=k,
@@ -491,11 +517,19 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
             return bounded_step(params, opt_state, step_arr, imgs, labels,
                                 mask)
     elif use_flat:
+        # Ordered feed: the per-step in-scan row gather costs 13-17% of
+        # stretch device time as a per-row async DMA chain (r4/r5 traces);
+        # pre-ordering each epoch's batches contiguously (one big gather
+        # per EPOCH) turns every step's fetch into one dynamic slice.
+        # Trajectories are bit-identical to the gather feed
+        # (tests/test_ordered_feed.py).
         train_fn = ts.make_flat_train_multi_step(
             cfg, tcfg, mesh, tx, preprocess, k, flattener,
             apply_fn=vit.apply_stacked,
             guard_padded_steps=(steps_per_epoch % k != 0),
-            zero1=zero1, accum=accum)
+            zero1=zero1, accum=accum, feed="ordered")
+        order_j = jax.jit(ts.epoch_order_data,
+                          out_shardings=(replicated, replicated))
     else:
         train_fn = ts.make_train_step(cfg, tcfg, mesh, tx, preprocess,
                                       accum=accum)
@@ -538,9 +572,15 @@ def fit(cfg: ViTConfig, tcfg: TrainConfig, verbose: bool = True) -> dict:
                 tcfg.batch_size, True)
             epoch_idx = jax.device_put(
                 ts.pad_epoch_indices(epoch_idx, stride), idx_sharding)
+            if use_flat:  # ordered feed: one epoch-sized gather, amortized
+                ep_x, ep_y = order_j(train_x, train_y, epoch_idx)
+                if jax.default_backend() == "cpu":
+                    ep_y.block_until_ready()  # one sharded program in flight
+            else:
+                ep_x, ep_y = train_x, train_y
             (train_params, opt_state), train_loss, train_acc, train_ips = \
-                _run_epoch(train_fn, (train_params, opt_state), train_x,
-                           train_y, epoch_idx, "Training", True, k=stride,
+                _run_epoch(train_fn, (train_params, opt_state), ep_x,
+                           ep_y, epoch_idx, "Training", True, k=stride,
                            epoch=epoch)
             if use_tp or use_pp or use_tpcp or use_pptp or use_pptpcp:
                 params = gather_j(train_params)

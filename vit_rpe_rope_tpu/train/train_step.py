@@ -24,6 +24,8 @@ Design:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -90,6 +92,50 @@ def _gather_batch(data_x, data_y, idx):
     return data_x[safe], data_y[safe], mask
 
 
+def _fetch_batch_ordered(data_x, data_y, idx, row, n_shards: int):
+    """Per-step batch fetch from EPOCH-ORDERED buffers (epoch_order_data):
+    one contiguous dynamic slice instead of a row gather over the full
+    dataset. The r4/r5 device traces attribute 13-17% of stretch device
+    time to the in-scan row gather's per-row async DMA chain (~29k
+    copy-start/done pairs per trace window); a contiguous slice is one
+    DMA. idx (this shard's column block of the [steps, batch] index
+    matrix) is kept only as the padding-mask source. Row `row` of the
+    GLOBAL epoch order starts at row·(b_local·n_shards); this shard's
+    block sits axis_index·b_local further in."""
+    mask = (idx >= 0).astype(jnp.float32)
+    b_local = idx.shape[0]
+    off = (row * (b_local * n_shards)
+           + jax.lax.axis_index(DATA_AXIS) * b_local)
+    imgs = jax.lax.dynamic_slice_in_dim(data_x, off, b_local)
+    labels = jax.lax.dynamic_slice_in_dim(data_y, off, b_local)
+    return imgs, labels, mask
+
+
+def epoch_order_data(data_x, data_y, epoch_idx):
+    """Materialize one epoch's batches CONTIGUOUSLY (feed variant E,
+    scripts/exp_feed.py): one big gather per EPOCH, amortized over all its
+    steps, so the fused k-step scan fetches each batch as a single
+    contiguous slice (_fetch_batch_ordered). Padded index entries (-1)
+    duplicate row 0; they stay masked by epoch_idx exactly as in gather
+    mode, so trajectories are bit-identical. jit this with replicated
+    out_shardings (the per-shard offset math lives in the fetch).
+    epoch_idx is the GLOBAL [steps, batch] matrix."""
+    perm = jnp.maximum(epoch_idx.reshape(-1), 0)
+    return data_x[perm], data_y[perm]
+
+
+def _make_fetch(mesh, feed: str):
+    """feed='gather' -> None (default masked row gather); feed='ordered' ->
+    the contiguous-slice fetch over epoch-ordered buffers (callers must
+    pass data through epoch_order_data for the current epoch_idx)."""
+    if feed == "gather":
+        return None
+    if feed == "ordered":
+        return functools.partial(_fetch_batch_ordered,
+                                 n_shards=mesh.shape[DATA_AXIS])
+    raise ValueError(f"unknown feed mode: {feed!r}")
+
+
 def _loss_and_metrics(params, imgs, labels, mask, cfg, preprocess,
                       apply_fn=None, key=None):
     """Per-shard loss/metric SUMS (no data-axis collectives here: psum over
@@ -125,7 +171,8 @@ def _epoch_of(step_vec):
 
 
 def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
-             apply_fn, guard, seed=0, update_fn=None, epoch=0, accum=1):
+             apply_fn, guard, seed=0, update_fn=None, epoch=0, accum=1,
+             fetch=None):
     """One data-parallel optimizer step (runs inside shard_map). Shared by
     the per-step, fused-multi-step, and flat-vector drivers.
 
@@ -143,11 +190,18 @@ def _dp_step(p, o, step, data_x, data_y, epoch_idx, *, cfg, preprocess, tx,
     microbatch) and summing raw gradients; the final normalization by the
     total real-example count makes the update bit-comparable to a single
     step on the concatenated batch (augmentation keys differ per row).
+
+    fetch(data_x, data_y, idx, row) -> (imgs, labels, mask) overrides the
+    default masked row gather (the ordered-feed contiguous slice,
+    _fetch_batch_ordered, when the caller passes epoch-ordered buffers).
     """
     def micro(pp, row):
         idx = jax.lax.dynamic_index_in_dim(epoch_idx, row, axis=0,
                                            keepdims=False)  # [local_bs]
-        imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        if fetch is None:
+            imgs, labels, mask = _gather_batch(data_x, data_y, idx)
+        else:
+            imgs, labels, mask = fetch(data_x, data_y, idx, row)
         # Per-(epoch, row, shard) key for augmentation and dropout (dead code
         # eliminated by XLA when neither is enabled). The epoch fold matters:
         # without it the same masks/crops would recur at step s of EVERY
@@ -241,7 +295,8 @@ def make_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx, preprocess,
 
 
 def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
-                          preprocess, k: int, accum: int = 1):
+                          preprocess, k: int, accum: int = 1,
+                          feed: str = "gather"):
     """K train steps fused into ONE dispatch via lax.scan inside shard_map —
     removes per-step host dispatch overhead (significant when the device sits
     behind a network tunnel; measured ~0.9 ms/step on this setup).
@@ -252,6 +307,8 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     accumulates `accum` consecutive index rows (start[0] is a row index;
     one dispatch spans k·accum rows)."""
 
+    fetch = _make_fetch(mesh, feed)
+
     def local_multi(params, opt_state, start, data_x, data_y, epoch_idx):
         epoch = _epoch_of(start)
 
@@ -259,7 +316,7 @@ def make_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
             p, o, m = _dp_step(*carry, step, data_x, data_y, epoch_idx,
                                cfg=cfg, preprocess=preprocess, tx=tx,
                                apply_fn=None, guard=True, seed=tcfg.seed,
-                               epoch=epoch, accum=accum)
+                               epoch=epoch, accum=accum, fetch=fetch)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32) * accum
@@ -386,7 +443,8 @@ def init_tp_zero1_opt_state(tx, cfg, mesh):
 def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                preprocess, k: int, flattener, apply_fn=None,
                                guard_padded_steps: bool = True,
-                               zero1: bool = False, accum: int = 1):
+                               zero1: bool = False, accum: int = 1,
+                               feed: str = "gather"):
     """make_train_multi_step on a FLAT parameter vector: the model unflattens
     inside the loss, gradients come back as one contiguous array, and the
     optimizer runs as a few large fused elementwise ops instead of hundreds
@@ -422,6 +480,8 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         p_full = jax.lax.all_gather(p_sh, DATA_AXIS, tiled=True)
         return p_full[:flattener.total], o_new
 
+    fetch = _make_fetch(mesh, feed)
+
     def local_multi(flat, opt_state, start, data_x, data_y, epoch_idx):
         epoch = _epoch_of(start)
 
@@ -431,7 +491,7 @@ def make_flat_train_multi_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                                apply_fn=flat_apply,
                                guard=guard_padded_steps, seed=tcfg.seed,
                                update_fn=zero1_update if zero1 else None,
-                               epoch=epoch, accum=accum)
+                               epoch=epoch, accum=accum, fetch=fetch)
             return (p, o), m
 
         steps = start[0] + jnp.arange(k, dtype=jnp.int32) * accum
@@ -716,9 +776,43 @@ def make_tp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
         update_fn=update_fn, opt_specs_override=opt_specs_override)
 
 
+def cp_zero1_flattener(cfg):
+    """Flattener over the CP driver's reference-keyed param dict (CP params
+    are fully replicated — no local-slice reshaping like the TP twin)."""
+    return Flattener(vit.init_params(jax.random.PRNGKey(0), cfg))
+
+
+def init_cp_zero1_opt_state(tx, cfg, mesh):
+    """ZeRO-1 optimizer state for the CP (sequence-parallel) driver: CP
+    grads are fully psum'd over BOTH mesh axes before the update and params
+    are replicated, so the flat moment vector can shard over the WHOLE
+    ('data', 'model') device product — 2P/(n_data·R) moment bytes per chip
+    (the 'model' axis carries token shards, not parameters, so it is free
+    real estate for optimizer state). Vector leaves are globally [padded]
+    with spec P((DATA_AXIS, MODEL_AXIS)), matching the data-major
+    linearization of axis_index(('data','model')); scalars (the Adam step
+    count) stay replicated. Returns (opt_state, opt_specs, flattener)."""
+    from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS, NamedSharding
+
+    n_sh = mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
+    flt = cp_zero1_flattener(cfg)
+    padded = zero1_shard_size(flt.total, n_sh) * n_sh
+    proto = tx.init(jnp.zeros((padded,), jnp.float32))
+    specs = jax.tree_util.tree_map(
+        lambda leaf: (P((DATA_AXIS, MODEL_AXIS))
+                      if getattr(leaf, "ndim", 0) >= 1 else P()), proto)
+    placed = jax.device_put(
+        proto,
+        jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)))
+    return placed, specs, flt
+
+
 def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
                        preprocess, k: int = 1,
-                       guard_padded_steps: bool = True, accum: int = 1):
+                       guard_padded_steps: bool = True, accum: int = 1,
+                       zero1: bool = False):
     """Data-parallel × sequence-parallel (ring attention) training step over
     the ('data', 'model') mesh — the 'model' axis carries token shards
     (parallel/context_parallel.py). Params and optimizer state stay fully
@@ -729,16 +823,49 @@ def make_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
     ('data', 'model') together — one fused ICI all-reduce across the whole
     mesh.
 
-    Same k-step fusion contract as make_tp_train_step."""
+    Same k-step fusion contract as make_tp_train_step.
+
+    zero1=True shards the Adam moments over the FULL device product (see
+    init_cp_zero1_opt_state — pass its opt state): each device updates its
+    stripe of the padded flat vector and the new params ride one tiled
+    all_gather over ('data', 'model') back to replicated. Elementwise-
+    identical to the replicated-optimizer CP step (grads reach the update
+    fully reduced either way)."""
     from vit_rpe_rope_tpu.parallel import context_parallel as cp
     from vit_rpe_rope_tpu.parallel.mesh import MODEL_AXIS
 
     proto = vit.init_params(jax.random.PRNGKey(0), cfg)
+    update_fn = None
+    opt_specs_override = None
+    if zero1:
+        axes = (DATA_AXIS, MODEL_AXIS)
+        n_sh = mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
+        flt = cp_zero1_flattener(cfg)
+        shard = zero1_shard_size(flt.total, n_sh)
+        padded = shard * n_sh
+        opt_specs_override = jax.tree_util.tree_map(
+            lambda leaf: (P((DATA_AXIS, MODEL_AXIS))
+                          if getattr(leaf, "ndim", 0) >= 1 else P()),
+            jax.eval_shape(tx.init,
+                           jax.ShapeDtypeStruct((shard,), jnp.float32)))
+
+        def update_fn(grads, o, p):  # the ZeRO-1 × CP update
+            my = jax.lax.axis_index(axes)
+            g_sh = jax.lax.dynamic_slice_in_dim(
+                _pad_vec(flt.flatten(grads), padded), my * shard, shard)
+            p_sh = jax.lax.dynamic_slice_in_dim(
+                _pad_vec(flt.flatten(p), padded), my * shard, shard)
+            updates, o_new = tx.update(g_sh, o, p_sh)
+            p_sh = optax.apply_updates(p_sh, updates)
+            p_full = jax.lax.all_gather(p_sh, axes, tiled=True)
+            return flt.unflatten(p_full[:flt.total]), o_new
+
     return _make_model_axis_train_step(
         cfg, tcfg, mesh, tx, preprocess, apply_fn=cp.apply_cp,
         reduce_grads=lambda g: jax.lax.psum(g, (DATA_AXIS, MODEL_AXIS)),
         proto_params=proto, param_specs={kk: P() for kk in proto},
-        k=k, guard_padded_steps=guard_padded_steps, accum=accum)
+        k=k, guard_padded_steps=guard_padded_steps, accum=accum,
+        update_fn=update_fn, opt_specs_override=opt_specs_override)
 
 
 def make_tp_cp_train_step(cfg: ViTConfig, tcfg: TrainConfig, mesh, tx,
