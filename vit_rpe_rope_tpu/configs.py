@@ -164,8 +164,9 @@ class TrainConfig:
     # ZeRO stage 1: shard the optimizer moments over the data axis (each
     # chip keeps 1/n_data of the Adam state; updated params ride one tiled
     # all_gather over ICI). Elementwise-identical trajectory. Composes with
-    # model_parallel (per-model-shard flat vectors); incompatible with
-    # sequence/pipeline parallelism.
+    # model_parallel (per-model-shard flat vectors) and with
+    # sequence_parallel (moments sharded over the full data × seq product);
+    # incompatible with pipeline parallelism.
     zero1: bool = False
     # Sequence/context parallelism degree: shard tokens over a mesh axis
     # and run attention as a KV ring over ICI
@@ -222,14 +223,22 @@ class TrainConfig:
             raise ValueError(
                 f"pp_microbatches must be >= 0 (0 = auto); got "
                 f"{self.pp_microbatches}")
-        if self.zero1 and (self.sequence_parallel > 1
-                           or self.pipeline_parallel > 1):
+        if self.zero1 and self.pipeline_parallel > 1:
             raise ValueError(
-                "zero1 shards the optimizer over the data axis and is "
-                "incompatible with sequence/pipeline parallelism > 1; it "
-                "composes with data parallelism (flat-vector driver) and "
+                "zero1 is incompatible with pipeline parallelism > 1 (PP "
+                "moments live per-stage with the stacked block params; a "
+                "data-axis re-shard of those is not implemented); it "
+                "composes with data parallelism (flat-vector driver), "
                 "with model_parallel (per-model-shard flat vectors — "
-                "train_step.make_tp_train_step(zero1=True))")
+                "train_step.make_tp_train_step(zero1=True)) and with "
+                "sequence_parallel (moments sharded over the full "
+                "data × seq device product — make_cp_train_step)")
+        if self.zero1 and self.sequence_parallel > 1 \
+                and self.model_parallel > 1:
+            raise ValueError(
+                "zero1 composes with sequence_parallel OR model_parallel, "
+                "not the 3-axis product (the TP×CP driver keeps a "
+                "replicated optimizer)")
         if self.q_chunk < 0:
             raise ValueError(f"q_chunk must be >= 0; got {self.q_chunk}")
         if self.kv_chunk < 0:
