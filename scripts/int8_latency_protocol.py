@@ -73,16 +73,34 @@ def main():
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
+    # Resume: count already-recorded good runs per cell (bench_infer emits
+    # its throughput under "value"), so an interrupted protocol only runs
+    # the remainder. The LAST kind=cell line per key in the JSONL is the
+    # authoritative aggregate.
+    have = {}
+    if os.path.exists(args.out):
+        for ln in open(args.out):
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            ips = d.get("images_per_sec") or d.get("value")
+            if d.get("kind") == "run" and ips:
+                have.setdefault(
+                    (d["stretch"], d["batch"], d["mode"]), []).append(
+                        float(ips))
+
     cells = []
     with open(args.out, "a") as f:
         for stretch, batch, mode in CELLS:
-            vals = []
-            for i in range(args.k):
+            vals = have.get((stretch, batch, mode), [])[:args.k]
+            for i in range(args.k - len(vals)):
                 r = run_once(stretch, batch, mode, args.steps)
                 print(json.dumps(r), file=f, flush=True)
                 print(json.dumps(r), file=sys.stderr)
-                if "images_per_sec" in r:
-                    vals.append(float(r["images_per_sec"]))
+                ips = r.get("images_per_sec") or r.get("value")
+                if ips:
+                    vals.append(float(ips))
             if not vals:
                 cell = dict(kind="cell", stretch=stretch, batch=batch,
                             mode=mode, error="all runs failed")
