@@ -93,8 +93,10 @@ def main():
     cells = []
     with open(args.out, "a") as f:
         for stretch, batch, mode in CELLS:
-            vals = have.get((stretch, batch, mode), [])[:args.k]
-            for i in range(args.k - len(vals)):
+            # Use ALL recorded runs (a cell finished at a higher K keeps
+            # its K; `k` in the aggregate reports the actual run count).
+            vals = have.get((stretch, batch, mode), [])
+            for i in range(max(0, args.k - len(vals))):
                 r = run_once(stretch, batch, mode, args.steps)
                 print(json.dumps(r), file=f, flush=True)
                 print(json.dumps(r), file=sys.stderr)

@@ -52,9 +52,18 @@ def attention(q, k, v, scale, bias=None, freqs_cis=None, dropout_rate=0.0,
     # exp/normalize chain from the (saved) logits is nearly free VPU work.
     from jax.ad_checkpoint import checkpoint_name
 
-    probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
-    probs = checkpoint_name(probs, "attn_softmax")
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    # One-pass normalization (round 5): probs = exp(logits - lse) emits the
+    # normalized probabilities in a SINGLE full-size elementwise pass over
+    # the f32 logits instead of exp-then-divide's two. The unnormalized
+    # exp(logits - m) never reaches HBM (it only feeds the sum-reduce, so
+    # XLA fuses it into the reduction); the divide's full-size f32
+    # intermediate — written and re-read every attention, forward and
+    # backward — disappears. The softmax chains were ~12% of stretch-step
+    # device time in docs/logs/r5_profile_stretch_post.json. lse is the
+    # max-shifted stable form; values agree with exp/sum to f32 rounding.
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    probs = jnp.exp(logits - lse)
     probs = checkpoint_name(probs, "attn_softmax")
     if dropout_rate > 0.0 and dropout_key is not None:
         keep = 1.0 - dropout_rate
