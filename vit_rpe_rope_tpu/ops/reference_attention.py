@@ -11,6 +11,8 @@ additive logits bias [H, N, N], or neither.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -61,9 +63,15 @@ def attention(q, k, v, scale, bias=None, freqs_cis=None, dropout_rate=0.0,
     # backward — disappears. The softmax chains were ~12% of stretch-step
     # device time in docs/logs/r5_profile_stretch_post.json. lse is the
     # max-shifted stable form; values agree with exp/sum to f32 rounding.
-    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    probs = jnp.exp(logits - lse)
+    if os.environ.get("ATTN_TWO_PASS_SOFTMAX"):  # A/B: pre-round-5 form
+        probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    else:
+        m = jax.lax.stop_gradient(
+            jnp.max(logits, axis=-1, keepdims=True))
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+        probs = jnp.exp(logits - lse)
     probs = checkpoint_name(probs, "attn_softmax")
     if dropout_rate > 0.0 and dropout_key is not None:
         keep = 1.0 - dropout_rate
